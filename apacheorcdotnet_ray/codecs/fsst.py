@@ -1,0 +1,163 @@
+"""FSST — Fast Static Symbol Table compression for string columns.
+
+Not present in the reference (mandated by the north star as the string-column
+addition). Implements the scheme of "FSST: Fast Random Access String
+Compression" (Boncz, Neumann, Leis — VLDB 2020, public): a table of up to 255
+symbols of 1-8 bytes each; output codes 0-254 index the table, code 255 is an
+escape followed by one literal byte. Random access per string is preserved when
+lengths are stored separately (our LENGTH stream).
+
+Training follows the paper's iterative greedy scheme on a bounded sample:
+repeatedly encode the sample with the current table, count symbol and
+symbol-concatenation frequencies, keep the highest-gain candidates.
+
+This implementation favors clarity over raw speed (Python per-symbol loop in
+``compress``); the stripe-level codec selector only picks FSST when it beats
+dict/direct on the sampled chunk, and chunk encoding parallelizes across Ray
+tasks. A vectorized two-level match is a known follow-up.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_SYMBOL_LEN = 8
+
+
+class SymbolTable:
+    def __init__(self, symbols: list[bytes]):
+        assert len(symbols) <= MAX_SYMBOLS
+        self.symbols = symbols
+        # first-byte index: byte -> [(symbol, code)] sorted longest-first
+        self.index: dict[int, list[tuple[bytes, int]]] = {}
+        for code, sym in enumerate(symbols):
+            self.index.setdefault(sym[0], []).append((sym, code))
+        for lst in self.index.values():
+            lst.sort(key=lambda t: -len(t[0]))
+        self.lengths = np.array([len(s) for s in symbols] + [1], dtype=np.int64)
+
+    def serialize(self) -> bytes:
+        out = bytearray([len(self.symbols)])
+        for s in self.symbols:
+            out.append(len(s))
+            out.extend(s)
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, buf: bytes) -> tuple["SymbolTable", int]:
+        n = buf[0]
+        pos = 1
+        symbols = []
+        for _ in range(n):
+            ln = buf[pos]
+            pos += 1
+            symbols.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        return cls(symbols), pos
+
+
+def train(sample: bytes, iterations: int = 5) -> SymbolTable:
+    """Iterative greedy symbol-table construction on a bounded sample."""
+    sample = sample[: 1 << 16]
+    table = SymbolTable([])
+    for _ in range(iterations):
+        counts: Counter[bytes] = Counter()
+        pos = 0
+        prev_sym: bytes | None = None
+        n = len(sample)
+        while pos < n:
+            sym = _match(table, sample, pos)
+            counts[sym] += 1
+            if prev_sym is not None and len(prev_sym) + len(sym) <= MAX_SYMBOL_LEN:
+                counts[prev_sym + sym] += 1
+            prev_sym = sym
+            pos += len(sym)
+        # gain = freq * len, but length-1 symbols only pay off vs escapes when
+        # the byte value collides with nothing; approximate per the paper:
+        candidates = sorted(
+            counts.items(), key=lambda kv: -(kv[1] * len(kv[0])))
+        table = SymbolTable([s for s, _ in candidates[:MAX_SYMBOLS]])
+    return table
+
+
+def _match(table: SymbolTable, data: bytes, pos: int) -> bytes:
+    cands = table.index.get(data[pos])
+    if cands:
+        for sym, _ in cands:
+            if data.startswith(sym, pos):
+                return sym
+    return data[pos : pos + 1]
+
+
+def compress(data: bytes, table: SymbolTable) -> bytes:
+    """Greedy longest-match encode. Codes 0-254 = symbols, 255 = escape+literal."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    index = table.index
+    while pos < n:
+        cands = index.get(data[pos])
+        if cands:
+            for sym, code in cands:
+                if data.startswith(sym, pos):
+                    out.append(code)
+                    pos += len(sym)
+                    break
+            else:
+                out.append(ESCAPE)
+                out.append(data[pos])
+                pos += 1
+        else:
+            out.append(ESCAPE)
+            out.append(data[pos])
+            pos += 1
+    return bytes(out)
+
+
+def decompress(codes: bytes, table: SymbolTable) -> bytes:
+    out = bytearray()
+    symbols = table.symbols
+    i = 0
+    n = len(codes)
+    while i < n:
+        c = codes[i]
+        if c == ESCAPE:
+            out.append(codes[i + 1])
+            i += 2
+        else:
+            out.extend(symbols[c])
+            i += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# column-level helpers: compress a whole chunk of strings at once
+
+
+def encode_chunk(data: bytes, sample: bytes | None = None) -> bytes:
+    """Train on (a sample of) the data and compress. Layout: table | varint len | codes."""
+    from .bitpack import write_varint_unsigned
+
+    table = train(sample if sample is not None else data)
+    codes = compress(data, table)
+    out = bytearray()
+    tbl = table.serialize()
+    write_varint_unsigned(out, len(tbl))
+    out.extend(tbl)
+    write_varint_unsigned(out, len(codes))
+    out.extend(codes)
+    return bytes(out)
+
+
+def decode_chunk(buf: bytes) -> bytes:
+    from .bitpack import read_varint_unsigned
+
+    tbl_len, pos = read_varint_unsigned(buf, 0)
+    table, _ = SymbolTable.deserialize(buf[pos : pos + int(tbl_len)])
+    pos += int(tbl_len)
+    codes_len, pos = read_varint_unsigned(buf, pos)
+    return decompress(buf[pos : pos + int(codes_len)], table)

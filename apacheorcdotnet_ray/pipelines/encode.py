@@ -1,0 +1,224 @@
+"""Encode / decode pipelines.
+
+Two write paths, mirroring how the reference separates streaming ingest from
+its stripe/file bookkeeping (OrcWriter.cs:57-104):
+
+- ``encode_dataset``: streaming Dataset-native path — any ``ray.data.Dataset``
+  flows through an actor-pool ``map_batches(StripeEncoder)``; one stripe per
+  batch; returns the metrics Dataset (one small row per stripe).
+- ``encode_corpus``: the resumable job path for parquet corpora. Input is
+  deterministically partitioned by (file, row-group range) from parquet
+  metadata; every partition task reads only its fragment, writes
+  content-hash-named stripes + a lineage record; the driver folds records into
+  ``manifest.jsonl`` + a job summary with file-level stats (the reference's
+  stride→stripe→file stats roll-up, StripeWriter.cs:151-158, as a tiny driver
+  reduce). Rerunning skips completed partitions (checkpoint/resume per the
+  north rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..stages.encode import StripeEncoder
+from ..state.manifest import Manifest
+from ..stripe import EncodeConfig, encode_stripe
+from ..stripe.stats import merge_stats
+
+
+def encode_dataset(
+    ds: rd.Dataset,
+    out_dir: str,
+    config: EncodeConfig | None = None,
+    batch_size: int | None = None,
+    concurrency=None,
+) -> rd.Dataset:
+    """Streaming encode: Dataset → stripe files under out_dir + metrics Dataset."""
+    config = config or EncodeConfig()
+    kwargs = dict(
+        fn_constructor_kwargs={"out_dir": out_dir, "config": config, "key_column": "doc_id"},
+        batch_format="pyarrow",
+        batch_size=batch_size or config.target_stripe_rows,
+        zero_copy_batch=True,
+    )
+    kwargs["concurrency"] = concurrency if concurrency is not None else (1, 16)
+    return ds.map_batches(StripeEncoder, **kwargs)
+
+
+def decode_dataset(stripe_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    from ..sources.stripes import read_stripes
+
+    return read_stripes(stripe_dir, columns)
+
+
+# ---------------------------------------------------------------------------
+# resumable partition-mapped job
+
+
+def enumerate_partitions(paths: list[str], row_groups_per_partition: int = 4) -> list[dict]:
+    """Deterministic (file, row-group range) partitions from parquet metadata.
+
+    Driver-side and cheap (footer reads only) — the analog of the reader's
+    FileTail/stripe-directory scan (FileTail.cs:22-54)."""
+    parts = []
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        n_rg = md.num_row_groups
+        size = os.path.getsize(path)
+        for start in range(0, n_rg, row_groups_per_partition):
+            end = min(start + row_groups_per_partition, n_rg)
+            rows = sum(md.row_group(i).num_rows for i in range(start, end))
+            parts.append(
+                {
+                    "partition_id": f"{os.path.basename(path)}:rg{start}-{end}",
+                    "path": path,
+                    "rg_start": start,
+                    "rg_end": end,
+                    "rows": rows,
+                    "fingerprint": f"{size}-{md.num_rows}",
+                }
+            )
+    return parts
+
+
+def split_for_stripes(table: pa.Table, config: EncodeConfig) -> list[pa.Table]:
+    """Split a partition's table into stripes bounded by flattened value count
+    (tokens lists up to ~100k values mean stripe sizing must count values, not
+    rows — SURVEY.md §7.3)."""
+    n = table.num_rows
+    if n == 0:
+        return []
+    weights = np.ones(n, dtype=np.int64)
+    for name in table.column_names:
+        col = table.column(name)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            import pyarrow.compute as pc
+
+            lens = pc.list_value_length(col).combine_chunks()
+            weights = weights + np.nan_to_num(
+                lens.to_numpy(zero_copy_only=False).astype(np.float64)
+            ).astype(np.int64)
+    cum = np.cumsum(weights)
+    budget = config.target_stripe_values
+    out = []
+    start = 0
+    base = 0
+    while start < n:
+        end = int(np.searchsorted(cum, base + budget, side="right")) + 1
+        end = max(end, start + 1)
+        end = min(end, n)
+        out.append(table.slice(start, end - start))
+        base = cum[end - 1]
+        start = end
+    return out
+
+
+class _EncodePartition:
+    """map_batches callable over partition-descriptor rows."""
+
+    def __init__(self, out_dir: str, config: EncodeConfig, columns: list[str] | None = None):
+        self.out_dir = out_dir
+        self.config = config
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        records = []
+        for part in batch.to_pylist():
+            records.append(self._encode_one(part))
+        return pa.Table.from_pylist(records)
+
+    def _encode_one(self, part: dict) -> dict:
+        pf = pq.ParquetFile(part["path"])
+        table = pf.read_row_groups(
+            list(range(part["rg_start"], part["rg_end"])), columns=self.columns
+        )
+        outputs = []
+        col_stats: dict[str, dict] = {}
+        total_encoded = 0
+        total_values = 0
+        safe_pid = part["partition_id"].replace("/", "_").replace(":", "_")
+        for k, stripe_tbl in enumerate(split_for_stripes(table, self.config)):
+            lineage = {
+                "partition_id": part["partition_id"],
+                "stripe_index": k,
+                "fingerprint": part["fingerprint"],
+            }
+            buf, footer = encode_stripe(stripe_tbl, self.config, lineage=lineage)
+            h = hashlib.sha256(buf).hexdigest()[:16]
+            name = f"{safe_pid}-s{k:04d}-{h}.oray"
+            path = os.path.join(self.out_dir, name)
+            tmp = path + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.replace(tmp, path)
+            outputs.append({"path": name, "hash": h, "rows": stripe_tbl.num_rows})
+            total_encoded += len(buf)
+            total_values += sum(s["n"] for s in footer["streams"] if s["kind"] == "DATA")
+            for cmeta in footer["columns"]:
+                col_stats[cmeta["name"]] = merge_stats(col_stats.get(cmeta["name"]), cmeta["stats"])
+        return {
+            "partition_id": part["partition_id"],
+            "fingerprint": part["fingerprint"],
+            "rows": part["rows"],
+            "encoded_bytes": total_encoded,
+            "n_values": total_values,
+            "raw_bytes": table.nbytes,
+            "outputs_json": json.dumps(outputs, sort_keys=True),
+            "column_stats_json": json.dumps(col_stats, sort_keys=True),
+        }
+
+
+def encode_corpus(
+    paths: list[str],
+    out_dir: str,
+    config: EncodeConfig | None = None,
+    columns: list[str] | None = None,
+    resume: bool = True,
+    row_groups_per_partition: int = 4,
+    concurrency=None,
+) -> dict:
+    """Resumable encode job. Returns the job summary (also written to out_dir)."""
+    config = config or EncodeConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = Manifest(out_dir)
+    parts = enumerate_partitions(paths, row_groups_per_partition)
+    done = manifest.completed_partitions() if resume else {}
+    todo = [
+        p for p in parts
+        if done.get(p["partition_id"], {}).get("fingerprint") != p["fingerprint"]
+    ]
+    if todo:
+        ds = rd.from_items(todo, override_num_blocks=len(todo))
+        kwargs = dict(
+            fn_constructor_kwargs={"out_dir": out_dir, "config": config, "columns": columns},
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+        kwargs["concurrency"] = concurrency or (1, 32)
+        records_ds = ds.map_batches(_EncodePartition, **kwargs)
+        records = records_ds.take_all()  # small: one record per partition
+        manifest.append(records)
+        manifest.rewrite_sorted()
+
+    # file-level roll-up (tiny driver reduce over per-partition records)
+    all_records = manifest.completed_partitions()
+    file_stats: dict[str, dict] = {}
+    totals = {"rows": 0, "encoded_bytes": 0, "raw_bytes": 0, "n_values": 0, "partitions": 0}
+    for rec in all_records.values():
+        totals["rows"] += rec["rows"]
+        totals["encoded_bytes"] += rec["encoded_bytes"]
+        totals["raw_bytes"] += rec["raw_bytes"]
+        totals["n_values"] += rec["n_values"]
+        totals["partitions"] += 1
+        for cname, cstats in json.loads(rec["column_stats_json"]).items():
+            file_stats[cname] = merge_stats(file_stats.get(cname), cstats)
+    summary = {**totals, "column_stats": file_stats}
+    manifest.finalize(summary)
+    return summary

@@ -1,0 +1,32 @@
+"""Encode configuration — analog of the reference's WriterConfiguration
+(/root/reference/src/ApacheOrcDotNet/WriterConfiguration.cs:14-77) plus the
+north-star extensions (codec allow-list, FSST toggle)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EncodeConfig:
+    # compression framing (WriterConfiguration.cs:34,54: 256 KiB blocks, Deflate/Fastest)
+    compression: str = "zlib"           # "zlib" | "none"
+    compression_block_size: int = 256 * 1024
+    zlib_level: int = 1                 # Deflate "Fastest"
+
+    # codec selection
+    aligned_bit_widths: bool = False    # EncodingStrategy Speed→aligned, Size→exact
+    dictionary_threshold: float = 0.8   # unique/total ≤ threshold → dict (cs:64)
+    selector_sample_size: int = 4096    # values sampled per chunk for codec choice
+    int_codecs: tuple[str, ...] = ("rlev2", "for", "intdict")
+    string_codecs: tuple[str, ...] = ("direct", "dict", "fsst")
+    enable_fsst: bool = True
+    intdict_max_card_ratio: float = 0.5  # try intdict only if sample uniq ratio below
+
+    # stripe sizing: encode tasks get one Arrow batch per stripe; these bound
+    # how pipelines pick map_batches(batch_size=...) for list-heavy schemas
+    target_stripe_values: int = 4_000_000   # flattened values (e.g. tokens) per stripe
+    target_stripe_rows: int = 100_000
+
+    # output
+    magic: bytes = b"ORAY1"

@@ -1,0 +1,104 @@
+"""End-to-end Ray Data pipeline tests: encode → stripes → decode → verify,
+plus checkpoint/resume (SURVEY.md §7.1 M3-M5)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from apacheorcdotnet_ray.pipelines.encode import (
+    encode_corpus,
+    encode_dataset,
+    decode_dataset,
+    enumerate_partitions,
+)
+from apacheorcdotnet_ray.pipelines.verify import verify_roundtrip
+from apacheorcdotnet_ray.sources.tokens import generate_tokens_shard, write_tokens_corpus
+from apacheorcdotnet_ray.stripe import EncodeConfig
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("tokens_corpus")
+    paths = write_tokens_corpus(str(d), n_shards=3, docs_per_shard=400, seed=42)
+    return paths
+
+
+def test_tokens_generator_deterministic():
+    a = generate_tokens_shard(0, 50, seed=42)
+    b = generate_tokens_shard(0, 50, seed=42)
+    assert a.equals(b)
+    assert a.column_names == ["doc_id", "tokens", "n_tok", "source"]
+    assert str(a.schema.field("tokens").type) == "list<item: int32>"
+
+
+def test_encode_corpus_roundtrip(corpus, ray_session, tmp_path):
+    import ray.data as rd
+
+    out = str(tmp_path / "stripes")
+    summary = encode_corpus(corpus, out, EncodeConfig(target_stripe_values=50_000))
+    assert summary["rows"] == 1200
+    assert summary["partitions"] == len(enumerate_partitions(corpus))
+    assert os.path.exists(os.path.join(out, "manifest.jsonl"))
+    assert summary["encoded_bytes"] < summary["raw_bytes"]
+
+    src = rd.read_parquet(corpus)
+    dec = decode_dataset(out)
+    res = verify_roundtrip(src, dec)
+    assert res["rows_match"] and res["content_match"], res
+
+
+def test_encode_corpus_resume_identical_manifest(corpus, ray_session, tmp_path):
+    out_full = str(tmp_path / "full")
+    out_resume = str(tmp_path / "resumed")
+
+    encode_corpus(corpus, out_full)
+    # simulate a killed job: first run covers only the first shard
+    encode_corpus(corpus[:1], out_resume)
+    # resume with the complete input
+    encode_corpus(corpus, out_resume)
+
+    with open(os.path.join(out_full, "manifest.jsonl")) as f:
+        full = f.read()
+    with open(os.path.join(out_resume, "manifest.jsonl")) as f:
+        resumed = f.read()
+    assert full == resumed
+    s1 = json.load(open(os.path.join(out_full, "job_summary.json")))
+    s2 = json.load(open(os.path.join(out_resume, "job_summary.json")))
+    assert s1 == s2
+
+
+def test_encode_corpus_skips_done(corpus, ray_session, tmp_path):
+    out = str(tmp_path / "skip")
+    encode_corpus(corpus, out)
+    before = os.path.getmtime(os.path.join(out, "manifest.jsonl"))
+    encode_corpus(corpus, out)  # no-op: everything is already done
+    after = os.path.getmtime(os.path.join(out, "manifest.jsonl"))
+    assert before == after
+
+
+def test_streaming_encode_dataset(corpus, ray_session, tmp_path):
+    import ray.data as rd
+
+    out = str(tmp_path / "stream_stripes")
+    ds = rd.read_parquet(corpus)
+    metrics = encode_dataset(ds, out, batch_size=500).take_all()
+    assert sum(m["rows"] for m in metrics) == 1200
+    assert all(m["encoded_bytes"] > 0 for m in metrics)
+    dec = decode_dataset(out)
+    res = verify_roundtrip(rd.read_parquet(corpus), dec)
+    assert res["content_match"], res
+
+
+def test_column_stats_rollup(corpus, ray_session, tmp_path):
+    out = str(tmp_path / "stats")
+    summary = encode_corpus(corpus, out)
+    st = summary["column_stats"]["n_tok"]
+    tables = [pq.read_table(p) for p in corpus]
+    all_ntok = np.concatenate([t["n_tok"].to_numpy() for t in tables])
+    assert st["min"] == int(all_ntok.min())
+    assert st["max"] == int(all_ntok.max())
+    assert st["sum"] == int(all_ntok.sum())
+    assert st["count"] == len(all_ntok)

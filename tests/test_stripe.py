@@ -1,0 +1,163 @@
+"""Stripe container round-trips over every supported Arrow type, nulls, lists.
+
+Analog of the reference's column-level + end-to-end round-trip layers
+(ColumnTypes/*Column_Test.cs, RoundTrip_Test.cs — SURVEY.md §5 layers 4-5),
+re-expressed as Arrow-table round-trips.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from apacheorcdotnet_ray.stripe import EncodeConfig, decode_stripe, encode_stripe, read_footer
+from apacheorcdotnet_ray.stripe.framing import compress, decompress
+
+
+def roundtrip_table(table: pa.Table, config: EncodeConfig | None = None) -> pa.Table:
+    buf, footer = encode_stripe(table, config)
+    out = decode_stripe(buf)
+    assert out.num_rows == table.num_rows
+    assert out.schema == table.schema
+    assert out.equals(table), f"mismatch:\n{out.to_pydict()}\nvs\n{table.to_pydict()}"
+    return out
+
+
+def test_framing_roundtrip():
+    rng = np.random.default_rng(0)
+    for data in (b"", b"abc", b"a" * 1_000_000, rng.bytes(700_000)):
+        assert decompress(compress(data)) == data
+
+
+def test_int_columns():
+    rng = np.random.default_rng(1)
+    t = pa.table({
+        "i_random": pa.array(rng.integers(0, 2**31, 10000), type=pa.int64()),
+        "i_range": pa.array(rng.integers(10_000_000, 10_001_000, 10000), type=pa.int64()),
+        "i_incr": pa.array(np.arange(10000), type=pa.int64()),
+        "i_step": pa.array(np.arange(10000) // 1000, type=pa.int32()),
+        "i_small": pa.array(rng.integers(-100, 100, 10000), type=pa.int16()),
+    })
+    roundtrip_table(t)
+
+
+def test_nullable_ints_and_allnull():
+    vals = [1, None, 3, None, 5] * 100
+    t = pa.table({
+        "x": pa.array(vals, type=pa.int64()),
+        "allnull": pa.array([None] * 500, type=pa.int32()),
+    })
+    out = roundtrip_table(t)
+    assert out["x"].null_count == 200
+
+
+def test_floats_bools_timestamps():
+    rng = np.random.default_rng(2)
+    n = 5000
+    t = pa.table({
+        "d": pa.array(rng.normal(size=n)),
+        "f": pa.array(rng.normal(size=n).astype(np.float32)),
+        "b": pa.array(rng.integers(0, 2, n).astype(bool)),
+        "ts": pa.array((np.datetime64("2020-01-01", "us") + np.arange(n)).astype("datetime64[us]")),
+        "bn": pa.array([None, True, False] * 100 + [True] * (n - 300)),
+    })
+    roundtrip_table(t)
+
+
+def test_strings_direct_dict_nulls():
+    rng = np.random.default_rng(3)
+    n = 7000
+    direct = ["s-" + hex(int(x)) for x in rng.integers(0, 2**48, n)]
+    dict_vals = [f"cat{i % 8}" for i in range(n)]
+    with_nulls = [None if i % 7 == 0 else f"v{i % 50}" for i in range(n)]
+    t = pa.table({
+        "s_direct": pa.array(direct),
+        "s_dict": pa.array(dict_vals),
+        "s_nulls": pa.array(with_nulls),
+        "empty_strs": pa.array((["", "a", ""] * n)[:n]),
+    })
+    buf, footer = encode_stripe(t)
+    cols = {c["name"]: c for c in footer["columns"]}
+    assert cols["s_dict"]["encoding"] == "dict"
+    roundtrip_table(t)
+
+
+def test_binary_column():
+    rng = np.random.default_rng(4)
+    t = pa.table({"raw": pa.array([rng.bytes(int(x)) for x in rng.integers(0, 50, 500)], type=pa.binary())})
+    roundtrip_table(t)
+
+
+def test_tokens_list_column():
+    """The flagship shape: doc_id, tokens list<int32>, n_tok, source."""
+    rng = np.random.default_rng(5)
+    n = 2000
+    lens = rng.integers(1, 200, n)
+    tokens = [rng.integers(0, 50257, ln).astype(np.int32) for ln in lens]
+    t = pa.table({
+        "doc_id": pa.array([f"web-{i:012d}" for i in range(n)]),
+        "tokens": pa.array([x.tolist() for x in tokens], type=pa.list_(pa.int32())),
+        "n_tok": pa.array(lens, type=pa.int32()),
+        "source": pa.array(["web"] * (n // 2) + ["code"] * (n - n // 2)),
+    })
+    out = roundtrip_table(t)
+    # per-row invariant: token-array equality keyed by doc_id
+    assert out["tokens"].to_pylist() == t["tokens"].to_pylist()
+
+
+def test_list_with_null_rows():
+    t = pa.table({
+        "lst": pa.array([[1, 2], None, [], [3]] * 50, type=pa.list_(pa.int64())),
+    })
+    roundtrip_table(t)
+
+
+def test_embeddings_list_float():
+    rng = np.random.default_rng(6)
+    t = pa.table({
+        "embedding": pa.array([rng.normal(size=16).astype(np.float32).tolist() for _ in range(300)],
+                              type=pa.list_(pa.float32())),
+    })
+    roundtrip_table(t)
+
+
+def test_no_compression_config():
+    t = pa.table({"x": pa.array(range(1000), type=pa.int64())})
+    roundtrip_table(t, EncodeConfig(compression="none"))
+
+
+def test_column_pruning():
+    t = pa.table({
+        "a": pa.array(range(100), type=pa.int64()),
+        "b": pa.array([f"s{i}" for i in range(100)]),
+    })
+    buf, _ = encode_stripe(t)
+    out = decode_stripe(buf, columns=["b"])
+    assert out.column_names == ["b"]
+    assert out["b"].to_pylist() == t["b"].to_pylist()
+
+
+def test_footer_stats():
+    t = pa.table({"x": pa.array([5, 1, None, 9], type=pa.int64())})
+    buf, footer = encode_stripe(t, lineage={"input": "frag-0", "rows": [0, 4]})
+    f2 = read_footer(buf)
+    st = f2["columns"][0]["stats"]
+    assert (st["min"], st["max"], st["sum"], st["null_count"]) == (1, 9, 15, 1)
+    assert f2["lineage"]["input"] == "frag-0"
+
+
+def test_empty_table():
+    t = pa.table({"x": pa.array([], type=pa.int64()), "s": pa.array([], type=pa.string())})
+    roundtrip_table(t)
+
+
+def test_size_parity_floor_vs_pure_rlev2():
+    """The auto-selector must never exceed the reference-equivalent encoding:
+    ints always have RLEv2 competing, so DATA size ≤ pure-RLEv2 size."""
+    from apacheorcdotnet_ray.codecs import rlev2
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(5_000_000_000, 5_000_100_000, 50000, dtype=np.int64)
+    t = pa.table({"x": pa.array(vals)})
+    buf, footer = encode_stripe(t, EncodeConfig(compression="none"))
+    data_stream = [s for s in footer["streams"] if s["kind"] == "DATA"][0]
+    assert data_stream["raw_length"] <= len(rlev2.encode(vals, True))
