@@ -1,44 +1,225 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on sf0.001 — tokenize documents into the
+  BASELINE.json input_hint shape (doc_id, tokens:list<int32>, n_tok, source),
+  encode to .oray stripes via the resumable corpus job, decode back, return
+  the decoded Dataset.
+- ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data operator suite); each takes sf_dir.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
+  (tables pre-registered as views). Column names match exactly.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SCRATCH = "/tmp/oray_queries"
+
+
+def _table_path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(_table_path(sf_dir, table), columns=columns)
+
+
+def _out_dir(sf_dir: str, tag: str) -> str:
+    paths = [_table_path(sf_dir, t) for t in
+             ("lineitem", "documents", "embeddings")]
+    fp = "|".join(f"{p}:{os.path.getsize(p)}" for p in paths if os.path.exists(p))
+    h = hashlib.sha256((sf_dir + fp).encode()).hexdigest()[:12]
+    return os.path.join(_SCRATCH, f"{tag}-{h}")
+
+
+def _roundtrip(sf_dir: str, table: str):
+    """Encode a testdata table to stripes and decode it back — the correctness
+    gate for the whole engine: the oracle is a plain SELECT of the source."""
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus
+
+    out = _out_dir(sf_dir, f"rt-{table}")
+    encode_corpus([_table_path(sf_dir, table)], out)  # resume-aware, idempotent
+    return decode_dataset(out)
+
+
+def _tokenize_roundtrip(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
+    from apacheorcdotnet_ray.pipelines.text import tokenize_documents
+    import shutil
+
+    out = _out_dir(sf_dir, "rt-tokens")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        ds = tokenize_documents(_read(sf_dir, "documents"))
+        encode_dataset(ds, out, batch_size=10_000).materialize()
+        open(os.path.join(out, "_done"), "w").close()
+    dec = decode_dataset(out)
+    return dec.select_columns(["doc_id", "n_tok", "source"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    sf_dir = "/root/testdata/sf0.001"
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
+    from apacheorcdotnet_ray.pipelines.text import tokenize_documents
+    import shutil
+
+    out = _out_dir(sf_dir, "entry-tokens")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = tokenize_documents(_read(sf_dir, "documents"))
+    encode_dataset(ds, out, batch_size=10_000).materialize()
+    return decode_dataset(out)
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from apacheorcdotnet_ray.pipelines import dedup, similarity, stats, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def roundtrip(table):
+        return lambda sf_dir: _roundtrip(sf_dir, table)
+
+    def ann_topk(sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        q = np.asarray(t["embedding"][int(np.argmin(ids))].as_py(), dtype=np.float64)
+        res = similarity.brute_force_topk(_read(sf_dir, "embeddings"), q[None, :], k=10)
+        return res.select(["vec_id"])
+
+    def ann_ivf(sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        q = np.asarray(t["embedding"][int(np.argmin(ids))].as_py(), dtype=np.float64)
+        return similarity.ivf_topk(_read(sf_dir, "embeddings"), q[None, :], k=10)
+
+    return {
+        # --- engine round-trips (encode → stripes → decode ≡ identity) ---
+        "roundtrip_lineitem": roundtrip("lineitem"),
+        "roundtrip_orders": roundtrip("orders"),
+        "roundtrip_customer": roundtrip("customer"),
+        "roundtrip_part": roundtrip("part"),
+        "roundtrip_events": roundtrip("events"),
+        "roundtrip_documents": roundtrip("documents"),
+        "roundtrip_embeddings": roundtrip("embeddings"),
+        "tokenize_roundtrip": _tokenize_roundtrip,
+        # --- statistics (partial+final aggregation tree) ---
+        "stats_lineitem": lambda sf_dir: stats.stats_row(
+            _read(sf_dir, "lineitem"),
+            int_columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+            float_columns=["l_quantity", "l_extendedprice"],
+        ),
+        "stats_by_source": lambda sf_dir: stats.group_stats_by(
+            _read(sf_dir, "documents", columns=["source", "n_chars"]), "source", "n_chars"
+        ),
+        # --- text analysis ---
+        "token_count": lambda sf_dir: text.token_count(_read(sf_dir, "documents")),
+        "token_count_by_source": lambda sf_dir: text.token_count_by_source(
+            _read(sf_dir, "documents", columns=["source", "text"])),
+        "quality_scores": lambda sf_dir: text.quality_scores(_read(sf_dir, "documents")),
+        "lang_id": lambda sf_dir: text.lang_id(_read(sf_dir, "documents")),
+        "doc_fingerprints": lambda sf_dir: text.doc_fingerprints(_read(sf_dir, "documents")),
+        # --- deduplication ---
+        "dedup_exact": lambda sf_dir: dedup.dedup_exact(_read(sf_dir, "documents")),
+        "dedup_minhash": lambda sf_dir: dedup.dedup_minhash_lsh(
+            _read(sf_dir, "documents"), jaccard_threshold=0.8),
+        "dedup_simhash": lambda sf_dir: dedup.dedup_simhash(_read(sf_dir, "documents")),
+        "dedup_embedding": lambda sf_dir: dedup.dedup_embedding_cosine(
+            _read(sf_dir, "embeddings"), threshold=0.48),
+        # --- similarity search ---
+        "ann_topk": ann_topk,
+        "ann_ivf": ann_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stopword_terms = " + ".join(
+        f"CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' {w} ', '')))/{len(w)+2} AS BIGINT)"
+        for w in ("the", "a", "of", "and", "to", "in", "is", "on")
+    )
+    return {
+        "roundtrip_lineitem": "SELECT * FROM lineitem",
+        "roundtrip_orders": "SELECT * FROM orders",
+        "roundtrip_customer": "SELECT * FROM customer",
+        "roundtrip_part": "SELECT * FROM part",
+        "roundtrip_events": "SELECT * FROM events",
+        "roundtrip_documents": "SELECT * FROM documents",
+        "roundtrip_embeddings": "SELECT * FROM embeddings",
+        "tokenize_roundtrip": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+            " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, source"
+            " FROM documents"
+        ),
+        "stats_lineitem": (
+            "SELECT count(*) AS n_rows,"
+            " min(l_orderkey) AS l_orderkey_min, max(l_orderkey) AS l_orderkey_max,"
+            " CAST(sum(l_orderkey) AS BIGINT) AS l_orderkey_sum,"
+            " min(l_partkey) AS l_partkey_min, max(l_partkey) AS l_partkey_max,"
+            " CAST(sum(l_partkey) AS BIGINT) AS l_partkey_sum,"
+            " min(l_suppkey) AS l_suppkey_min, max(l_suppkey) AS l_suppkey_max,"
+            " CAST(sum(l_suppkey) AS BIGINT) AS l_suppkey_sum,"
+            " min(l_linenumber) AS l_linenumber_min, max(l_linenumber) AS l_linenumber_max,"
+            " CAST(sum(l_linenumber) AS BIGINT) AS l_linenumber_sum,"
+            " min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max,"
+            " min(l_extendedprice) AS l_extendedprice_min, max(l_extendedprice) AS l_extendedprice_max"
+            " FROM lineitem"
+        ),
+        "stats_by_source": (
+            "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_val,"
+            " count(*) AS n_rows FROM documents GROUP BY source"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words"
+            " FROM documents"
+        ),
+        "token_count_by_source": (
+            "SELECT source,"
+            " CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,"
+            " count(*) AS n_docs FROM documents GROUP BY source"
+        ),
+        "quality_scores": (
+            "SELECT doc_id,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"
+            " CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_words,"
+            " CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+            "   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,"
+            " CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)"
+            "   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len"
+            " FROM documents"
+        ),
+        "lang_id": (
+            f"SELECT doc_id, ({stopword_terms}) AS stop_hits,"
+            f" CASE WHEN ({stopword_terms}) > 0 THEN 'en' ELSE 'other' END AS lang_pred"
+            " FROM documents"
+        ),
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_embedding": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
+            " FROM embeddings a, embeddings b"
+            " WHERE a.vec_id < b.vec_id"
+            " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.48"
+        ),
+        "ann_topk": (
+            "SELECT vec_id FROM embeddings"
+            " ORDER BY list_cosine_similarity(embedding,"
+            "   (SELECT embedding FROM embeddings"
+            "    WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC, vec_id"
+            " LIMIT 10"
+        ),
+        # dedup_minhash / dedup_simhash / doc_fingerprints / ann_ivf:
+        # intentionally no oracle (sketch/approximate operators) → rows-only check
+    }

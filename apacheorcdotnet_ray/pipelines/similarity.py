@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, read per actor), per-batch top-k
+partials merged in a tiny driver reduce. Scale path: IVF — seeded k-means
+centroids on a sample, bucket assignment per batch, search restricted to the
+``n_probe`` nearest buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def brute_force_topk(
+    emb_ds: rd.Dataset, query_vecs: np.ndarray, k: int = 10,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k per query. Returns (query_idx, vec_id, cosine, rank)."""
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        sims = qm @ m.T  # (n_query, n_batch)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[top[qi]].tolist())
+            out_s.extend(sims[qi, top[qi]].tolist())
+        return pa.table({
+            "query_idx": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    # tiny driver merge: k per (query, batch) partial rows
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(r["query_idx"], []).append((r["cosine"], r["vec_id"]))
+    rows = []
+    for qi, cand in sorted(by_q.items()):
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, vid) in enumerate(cand[:k]):
+            rows.append({"query_idx": qi, "rank": rank, "vec_id": vid, "cosine": s})
+    return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file) variant — the 100TB-scale path
+
+
+def train_centroids(emb_ds: rd.Dataset, n_centroids: int = 16, iters: int = 10,
+                    sample_limit: int = 50_000, seed: int = 11,
+                    emb_col: str = "embedding") -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (centroids are the tiny
+    broadcast state; the sample is bounded)."""
+    sample = emb_ds.limit(sample_limit).take_all()
+    m = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in sample]))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+def ivf_topk(emb_ds: rd.Dataset, query_vecs: np.ndarray, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> pa.Table:
+    """IVF approximate top-k: only vectors whose centroid is among the query's
+    n_probe nearest are scored."""
+    cent = train_centroids(emb_ds, n_centroids, emb_col=emb_col)
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (n_query, n_probe)
+    state = ray.put((q, cent, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, cm, pr = ray.get(state)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        assign = np.argmax(m @ cm.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            sims = qm[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(sub_ids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table({
+            "query_idx": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(r["query_idx"], []).append((r["cosine"], r["vec_id"]))
+    rows = []
+    for qi, cand in sorted(by_q.items()):
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, vid) in enumerate(cand[:k]):
+            rows.append({"query_idx": qi, "rank": rank, "vec_id": vid, "cosine": s})
+    return pa.Table.from_pylist(rows)

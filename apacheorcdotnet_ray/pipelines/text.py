@@ -1,0 +1,155 @@
+"""Text-analysis operators over the documents table: tokenization, token
+counting, language-ID heuristic, quality scoring, fingerprinting.
+
+All vectorized (pyarrow.compute / polars) inside ``map_batches``; formulas are
+chosen to be expressible in ANSI SQL with *identical* semantics so the DuckDB
+oracle can validate them (e.g. word count = count(' ')+1 == len(string_split(text,' '))).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+VOCAB = 50257
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def word_counts(batch: pa.Table, col: str = "text") -> pa.Array:
+    """Words per doc when splitting on single spaces (== DuckDB
+    len(string_split(text, ' ')))."""
+    return pc.add(pc.count_substring(batch.column(col), " "), 1)
+
+
+def token_count(ds: rd.Dataset) -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": word_counts(batch).cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_count_by_source(ds: rd.Dataset) -> rd.Dataset:
+    """Per-source doc count + total word count, with per-batch pre-aggregation
+    before the (tiny) shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch.column("source"),
+            "n_words": word_counts(batch).cast(pa.int64()),
+        })
+        g = t.group_by("source").aggregate([("n_words", "sum"), ([], "count_all")])
+        return g.select(["source", "n_words_sum", "count_all"]).rename_columns(
+            ["source", "p_words", "p_docs"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("p_words", alias_name="sum_words"), Sum("p_docs", alias_name="n_docs"))
+    )
+
+
+def quality_scores(ds: rd.Dataset) -> rd.Dataset:
+    """Per-doc quality signals: word count, distinct-word count, uniqueness
+    ratio, mean word length. Matches the oracle formulas exactly."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_words = word_counts(batch).cast(pa.int64())
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        n_unique = df.select(
+            pl.col("text").str.split(" ").list.n_unique().alias("u")
+        )["u"].to_numpy().astype(np.int64)
+        nw = n_words.to_numpy()
+        text_len = pc.utf8_length(batch.column("text")).cast(pa.int64()).to_numpy()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": n_words,
+            "n_unique_words": pa.array(n_unique),
+            "uniq_ratio": pa.array(n_unique.astype(np.float64) / nw.astype(np.float64)),
+            "mean_word_len": pa.array((text_len - (nw - 1)).astype(np.float64) / nw.astype(np.float64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(ds: rd.Dataset) -> rd.Dataset:
+    """Stopword-hit language heuristic with SQL-identical semantics:
+    hits = Σ_w count(' w ' in ' '||text||' '); lang_pred = 'en' if hits>0."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * batch.num_rows), batch.column("text"),
+            pa.array([" "] * batch.num_rows), "")
+        hits = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        for w in STOPWORDS:
+            hits = pc.add(hits, pc.count_substring(padded, f" {w} ").cast(pa.int64()))
+        pred = pc.if_else(pc.greater(hits, 0), pa.scalar("en"), pa.scalar("other"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "stop_hits": hits,
+            "lang_pred": pred,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic tokenizer → the BASELINE.json input_hint shape
+
+
+def _tokenize_text(text: str) -> np.ndarray:
+    return np.array([zlib.crc32(w.encode()) % VOCAB for w in text.split(" ")],
+                    dtype=np.int32)
+
+
+def tokenize_documents(ds: rd.Dataset) -> rd.Dataset:
+    """documents(doc_id,text,source) → (doc_id:string, tokens:list<int32>,
+    n_tok:int32, source:string). Deterministic (crc32 vocab hash), so repeat
+    runs and oracle-side recomputation agree."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks = [_tokenize_text(t) for t in texts]
+        lengths = np.array([len(x) for x in toks], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        flat = np.concatenate(toks) if toks else np.empty(0, np.int32)
+        tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                          pa.array(flat, type=pa.int32()))
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.string()),
+            "tokens": tokens,
+            "n_tok": pa.array(lengths, type=pa.int32()),
+            "source": batch.column("source"),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_fingerprints(ds: rd.Dataset, window: int = 8) -> rd.Dataset:
+    """Rolling-hash document fingerprint (winnowing-style min over rolling
+    crc32 of word windows) — used for fast near-dup prefilters."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = []
+        for text in batch.column("text").to_pylist():
+            words = text.split(" ")
+            if len(words) < window:
+                fps.append(zlib.crc32(text.encode()))
+                continue
+            hashes = [zlib.crc32(" ".join(words[i : i + window]).encode())
+                      for i in range(len(words) - window + 1)]
+            fps.append(min(hashes))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fps, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,155 @@
+"""Benchmark driver. Prints ONE JSON line with headline + per-query seconds.
+
+Headline: encode throughput on the deterministic pre-tokenized corpus
+(the BASELINE.json north-star metric: tokens/sec + compressed bytes/token),
+plus decode-verify and representative operator pipelines over $GRAFT_SF_DIR.
+
+Usage:
+    python bench.py                  # single run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling        # 8-cpu vs 32-cpu fresh-process runs + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# corpus sized from the sf dir (same input at every parallelism level)
+_SF_SCALE = {"sf0.001": (4, 500), "sf0.01": (8, 2000), "sf0.1": (32, 2500)}
+
+
+def corpus_params() -> tuple[int, int]:
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    return _SF_SCALE.get(tag, (16, 2500))
+
+
+def build_corpus() -> list[str]:
+    from apacheorcdotnet_ray.sources.tokens import write_tokens_corpus
+
+    n_shards, docs = corpus_params()
+    d = f"/tmp/oray_bench_corpus/{os.path.basename(os.path.normpath(SF_DIR))}-{n_shards}x{docs}"
+    return write_tokens_corpus(d, n_shards=n_shards, docs_per_shard=docs, seed=42,
+                               use_ray=True)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus
+    from apacheorcdotnet_ray.pipelines import dedup, similarity, text
+    from apacheorcdotnet_ray.pipelines.verify import verify_roundtrip
+
+    queries: dict[str, float] = {}
+    corpus = build_corpus()
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(corpus).count()
+
+    # --- headline: tokens encode ---
+    out = "/tmp/oray_bench_stripes"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    summary = encode_corpus(corpus, out, concurrency=(1, NUM_CPUS))
+    t_encode = time.perf_counter() - t0
+    queries["encode_tokens"] = t_encode
+    n_tokens = summary["column_stats"]["tokens"]["sum"]
+    tokens_per_sec = n_tokens / t_encode
+    bytes_per_token = summary["encoded_bytes"] / n_tokens
+
+    # --- decode + verify ---
+    t0 = time.perf_counter()
+    res = verify_roundtrip(rd.read_parquet(corpus), decode_dataset(out))
+    t_decode = time.perf_counter() - t0
+    queries["decode_verify_tokens"] = t_decode
+    assert res["content_match"], res
+
+    # --- representative operator pipelines over the sf tables ---
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        queries[name] = time.perf_counter() - t0
+
+    lineitem_out = "/tmp/oray_bench_lineitem"
+    shutil.rmtree(lineitem_out, ignore_errors=True)
+    timed("roundtrip_lineitem", lambda: (
+        encode_corpus([os.path.join(SF_DIR, "lineitem.parquet")], lineitem_out,
+                      concurrency=(1, NUM_CPUS)),
+        decode_dataset(lineitem_out).count(),
+    ))
+    docs_ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    timed("token_count_by_source", lambda: text.token_count_by_source(docs_ds).to_pandas())
+    timed("dedup_minhash", lambda: dedup.dedup_minhash_lsh(docs_ds).to_pandas())
+    emb_ds = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+    def _ann():
+        import numpy as np
+
+        first = emb_ds.sort("vec_id").limit(1).take_all()[0]
+        q = np.asarray(first["embedding"], dtype=np.float64)
+        similarity.brute_force_topk(emb_ds, q[None, :], k=10)
+
+    timed("ann_topk", _ann)
+
+    result = {
+        "metric": "tokens_encode_throughput",
+        "value": round(t_encode, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "n_tokens": int(n_tokens),
+        "tokens_per_sec": round(tokens_per_sec),
+        "bytes_per_token": round(bytes_per_token, 4),
+        "encoded_bytes": summary["encoded_bytes"],
+        "raw_bytes": summary["raw_bytes"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"tokens_per_sec_{lo}": r_lo["tokens_per_sec"],
+        f"tokens_per_sec_{hi}": r_hi["tokens_per_sec"],
+        "bytes_per_token": r_hi["bytes_per_token"],
+        "sf": r_hi["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))
