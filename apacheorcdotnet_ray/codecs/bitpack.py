@@ -60,19 +60,22 @@ def zigzag_decode_scalar(value: int) -> int:
 # ---------------------------------------------------------------------------
 # bit widths
 
+_BYTE_BITLEN = np.array([b.bit_length() for b in range(256)], dtype=np.int64)
+
+
 def bit_widths(values: np.ndarray) -> np.ndarray:
     """Number of significant bits per value (0 for 0), on uint64 views.
 
-    Vectorized equivalent of BitManipulation.NumBits (BitManipulation.cs:148-157).
+    Vectorized equivalent of BitManipulation.NumBits (BitManipulation.cs:148-157):
+    locate the highest non-zero byte, then table-look-up its bit length.
     """
-    v = np.asarray(values).view(U64).copy()
-    w = np.zeros(v.shape, dtype=np.int64)
-    for shift in (32, 16, 8, 4, 2, 1):
-        s = np.uint64(shift)
-        m = v >= (np.uint64(1) << s)
-        w[m] += shift
-        v[m] >>= s
-    w[np.asarray(values).view(U64) != 0] += 1
+    v = np.ascontiguousarray(np.asarray(values).view(U64))
+    b = v.view(np.uint8).reshape(-1, 8)  # little-endian byte lanes
+    rev_nz = b[:, ::-1] != 0
+    hi = 7 - rev_nz.argmax(axis=1)  # index of highest non-zero byte (0 if all zero)
+    w = hi * 8 + _BYTE_BITLEN[b[np.arange(len(v)), hi]]
+    if not rev_nz[:, -1].all():  # argmax on all-False rows points at byte 7
+        w[~rev_nz.any(axis=1)] = 0
     return w
 
 
@@ -113,8 +116,11 @@ def find_nearest_aligned_direct_width(bits: int) -> int:
     return 64
 
 
-# vectorized nearest-direct-width lookup table: index by exact bit count 0..64
+# vectorized nearest-direct-width lookup tables: index by exact bit count 0..64
 _NEAREST_TABLE = np.array([find_nearest_direct_width(b) for b in range(65)], dtype=np.int64)
+_ALIGNED_TABLE = np.array(
+    [find_nearest_aligned_direct_width(b) for b in range(65)], dtype=np.int64
+)
 _ENCODED_OF_NEAREST = np.array(
     [encode_direct_width(find_nearest_direct_width(b)) for b in range(65)], dtype=np.int64
 )

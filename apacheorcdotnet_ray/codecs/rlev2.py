@@ -18,7 +18,12 @@ import numpy as np
 from .bitpack import (
     I64,
     U64,
+    _ALIGNED_TABLE,
+    _DECODE_DIRECT,
+    _ENCODED_OF_NEAREST,
     _MASK64,
+    _NEAREST_TABLE,
+    bit_widths,
     bits_for_percentile,
     encode_direct_width,
     decode_direct_width,
@@ -41,18 +46,142 @@ from .bitpack import (
 )
 
 _WINDOW = 512
+_MAX_BATCH = 256  # windows analyzed per vectorized pass (128k values)
+_DECODE_ARR = np.array(_DECODE_DIRECT, dtype=np.int64)
 
 
 def encode(values: np.ndarray, signed: bool, aligned: bool = False) -> bytes:
-    """Encode int64 values with ORC RLEv2. Byte-identical to the reference writer."""
+    """Encode int64 values with ORC RLEv2. Byte-identical to the reference writer.
+
+    Fast path: SHORT_REPEAT is the only sub-mode that consumes fewer than 512
+    values (Writer.cs:19-28 feeds the consumed run length back into the scan),
+    so window boundaries stay 512-aligned until one fires — all per-window
+    stats (min/max/deltas/bit-width histograms) are computed vectorized across
+    up to ``_MAX_BATCH`` windows at once, and the scalar path only handles
+    short-repeat runs and the final partial window.
+    """
     v = np.ascontiguousarray(values, dtype=I64)
     out = bytearray()
     pos = 0
     n = len(v)
+    zz_all = (zigzag_encode(v) if signed else v).view(U64)
+    scalar_streak = False
     while pos < n:
-        window = v[pos : pos + _WINDOW]
-        pos += _encode_window(out, window, signed, aligned)
+        if n - pos >= _WINDOW and not scalar_streak:
+            consumed = _encode_batch(out, v, zz_all, pos, signed, aligned)
+            if consumed:
+                pos += consumed
+                continue
+        consumed = _encode_window(out, v[pos : pos + _WINDOW], signed, aligned)
+        # batching pays off again only once a full window was consumed
+        scalar_streak = consumed != _WINDOW and pos + consumed < n
+        pos += consumed
     return bytes(out)
+
+
+def _encode_batch(
+    out: bytearray, v: np.ndarray, zz_all: np.ndarray, pos: int, signed: bool, aligned: bool
+) -> int:
+    """Vectorized window classification + emission for 512-aligned full windows
+    starting at ``pos``. Returns values consumed (0 → caller uses scalar path).
+    Bit-exact with _encode_window: same cascade, same stats."""
+    n = len(v)
+    nw = min((n - pos) // _WINDOW, _MAX_BATCH)
+    W = v[pos : pos + nw * _WINDOW].reshape(nw, _WINDOW)
+    # leading-repeat length per window, bounded scan (Writer.cs:52-59)
+    neq = W[:, :11] != W[:, :1]
+    any_neq = neq.any(axis=1)
+    rep = np.where(any_neq, neq.argmax(axis=1), 11)
+    sr = (rep >= 3) & (rep <= 10)
+    limit = int(sr.argmax()) if sr.any() else nw
+    if limit == 0:
+        return 0
+    Wl = W[:limit]
+    ZZl = zz_all[pos : pos + limit * _WINDOW].reshape(limit, _WINDOW)
+    mins = Wl.min(axis=1)
+    maxs = Wl.max(axis=1)
+    with np.errstate(over="ignore"):
+        diff = maxs - mins
+        D = Wl[:, 1:] - Wl[:, :-1]
+        absD = np.abs(D)
+    ovf = ((maxs ^ mins) < 0) & ((maxs ^ diff) < 0)
+    d0 = D[:, 0]
+    fixed = maxs == mins
+    constd = (D == D[:, :1]).all(axis=1)
+    inc = (D >= 0).all(axis=1) & (d0 > 0)
+    dec = (D <= 0).all(axis=1) & (d0 < 0)
+    # per-window bit-width histograms in one bincount (BitManipulation.cs:115-146)
+    enc_w = _ENCODED_OF_NEAREST[bit_widths(ZZl.ravel())]
+    hist = np.bincount(
+        enc_w + 32 * np.repeat(np.arange(limit), _WINDOW), minlength=limit * 32
+    ).reshape(limit, 32)
+    revc = np.cumsum(hist[:, ::-1], axis=1)
+    bits100 = _DECODE_ARR[31 - (revc > 0).argmax(axis=1)]
+    drop90 = int(_WINDOW * (1.0 - 0.9))
+    bits90 = _DECODE_ARR[31 - (revc > drop90).argmax(axis=1)]
+
+    # batched base-reduced percentiles for the PATCHED_BASE candidates
+    # (Writer.cs:74-85): only windows that fail every earlier check and have
+    # a 90th/100th percentile width gap
+    is_delta = ~ovf & (fixed | constd | inc | dec)
+    pb_cand = ~ovf & ~is_delta & (bits100 != bits90)
+    pb_idx = np.nonzero(pb_cand)[0]
+    br100 = br95 = BR = None
+    pb_pos = np.full(limit, -1, dtype=np.int64)
+    is_patch = np.zeros(limit, dtype=bool)
+    if len(pb_idx):
+        pb_pos[pb_idx] = np.arange(len(pb_idx))
+        with np.errstate(over="ignore"):
+            BR = (Wl[pb_idx] - mins[pb_idx, None]).view(U64)
+        benc = _ENCODED_OF_NEAREST[bit_widths(BR.ravel())]
+        bhist = np.bincount(
+            benc + 32 * np.repeat(np.arange(len(pb_idx)), _WINDOW),
+            minlength=len(pb_idx) * 32,
+        ).reshape(len(pb_idx), 32)
+        brevc = np.cumsum(bhist[:, ::-1], axis=1)
+        br100 = _DECODE_ARR[31 - (brevc > 0).argmax(axis=1)]
+        drop95 = int(_WINDOW * (1.0 - 0.95))
+        br95 = _DECODE_ARR[31 - (brevc > drop95).argmax(axis=1)]
+        is_patch[pb_idx] = br100 != br95
+
+    # group-pack DIRECT payloads by bit width: a 512-value window at width w
+    # packs to exactly 64*w bytes, so one pack_bits call serves a whole group
+    is_direct = ~is_delta & ~is_patch
+    wdir = (_ALIGNED_TABLE if aligned else _NEAREST_TABLE)[bits100]
+    payloads: dict[int, bytes] = {}
+    di = np.nonzero(is_direct)[0]
+    if len(di):
+        for wbits in np.unique(wdir[di]).tolist():
+            rows = di[wdir[di] == wbits]
+            packed = pack_bits(ZZl[rows].ravel(), wbits)
+            sz = 64 * wbits
+            for j, r in enumerate(rows.tolist()):
+                payloads[r] = packed[j * sz : (j + 1) * sz]
+
+    for i in range(limit):
+        if is_direct[i]:
+            wbits = int(wdir[i])
+            enc_w = encode_direct_width(wbits)
+            out.append((0x1 << 6) | ((enc_w & 0x1F) << 1) | ((_WINDOW - 1) >> 8))
+            out.append((_WINDOW - 1) & 0xFF)
+            out.extend(payloads[i])
+        elif fixed[i]:
+            _delta_encode(out, int(mins[i]), signed, _WINDOW, [0], 0)
+        elif constd[i]:
+            _delta_encode(out, int(Wl[i, 0]), signed, _WINDOW, [int(d0[i])], 0)
+        elif inc[i] or dec[i]:
+            bits = num_bits(int(absD[i, 1:].max()))
+            bits = (
+                find_nearest_aligned_direct_width(bits)
+                if aligned
+                else find_nearest_direct_width(bits)
+            )
+            packed_deltas = np.concatenate([[d0[i]], absD[i, 1:]]).astype(I64)
+            _delta_encode(out, int(Wl[i, 0]), signed, _WINDOW, packed_deltas, bits)
+        else:
+            k = pb_pos[i]
+            _patch_encode(out, int(mins[i]), BR[k].copy(), int(br100[k]), int(br95[k]))
+    return limit * _WINDOW
 
 
 def _encode_window(out: bytearray, w: np.ndarray, signed: bool, aligned: bool) -> int:
@@ -63,9 +192,11 @@ def _encode_window(out: bytearray, w: np.ndarray, signed: bool, aligned: bool) -
         _direct_encode(out, zz.view(U64), n, aligned, None)
         return n
 
-    # Writer.cs:52-59 — SHORT_REPEAT for 3..10 leading repeats
-    neq = w != w[0]
-    rep = int(np.argmax(neq)) if neq.any() else n
+    # Writer.cs:52-59 — SHORT_REPEAT for 3..10 leading repeats (a leading run
+    # of 11+ can never be SHORT_REPEAT, so scanning the first 11 values is exact)
+    head = w[:11]
+    neq = head != w[0]
+    rep = int(np.argmax(neq)) if neq.any() else len(head)
     if 3 <= rep <= 10:
         val = zigzag_encode_scalar(int(w[0])) if signed else int(w[0]) & _MASK64
         _short_repeat_encode(out, val, rep)
