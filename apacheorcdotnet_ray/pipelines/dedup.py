@@ -9,8 +9,6 @@ documents), candidate verification per group, tiny driver-side merge.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -18,38 +16,137 @@ import ray.data as rd
 
 
 # ---------------------------------------------------------------------------
+# bounded hash-partition grouping
+#
+# Ray's groupby(...).map_groups(fn) invokes fn once per group; with
+# near-unique keys (LSH buckets, full texts) that is one Python call per row.
+# Instead: hash the key to a bounded partition id, groupby the partition id
+# (fixed number of groups regardless of key cardinality), and run a VECTORIZED
+# pandas group-reduction inside each partition. All rows of one key land in
+# one partition, so semantics match a per-key groupby; skew is bounded because
+# the partition key is a uniform hash.
+
+
+def _grouped_map(
+    ds: rd.Dataset, keys: list[str], fn, num_partitions: int = 64
+) -> rd.Dataset:
+    """groupby(keys)-equivalent with O(num_partitions) group invocations:
+    fn(df) receives complete key-groups and must itself reduce per key."""
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(batch.select(keys)).hash_rows(seed=1).to_numpy()
+        return batch.append_column(
+            "_pk", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(lambda g: fn(g.drop(columns="_pk")), batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 
 
 def dedup_exact(ds: rd.Dataset, key: str = "text", id_col: str = "doc_id") -> rd.Dataset:
-    """Keep the min-id row per distinct key value. groupby(key) shuffles only
-    (key, id) pairs, projected before the shuffle."""
+    """Keep the min-id row per distinct key value. The shuffle ships only
+    (key, id) pairs (projected first); per-partition reduction is one
+    vectorized pandas groupby-min."""
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: [g[id_col].min()]})
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, sort=False, as_index=False)[id_col].min()[[id_col]]
 
-    return (
-        ds.select_columns([id_col, key])
-        .groupby(key)
-        .map_groups(keep_first, batch_format="pandas")
-    )
+    return _grouped_map(ds.select_columns([id_col, key]), [key], keep_first)
 
 
 # ---------------------------------------------------------------------------
 # shingles + minhash
 
+# odd 64-bit multipliers combining k consecutive word hashes into one
+# shingle hash (position-dependent so "a b c" != "c b a")
+_SHINGLE_MULT = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD],
+    dtype=np.uint64,
+)
+
+
+def _batch_word_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized words→uint64 hashes for a whole batch: Arrow split_pattern
+    + polars hash (Rust xxhash kernel). Returns (flat word hashes, offsets)."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.split_pattern(texts, " ")
+    flat = words.flatten()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), offs
+    wh = pl.from_arrow(pa.table({"w": flat}))["w"].hash(seed=0).to_numpy().astype(np.uint64)
+    return wh, offs
+
+
+def _batch_shingle_hashes(
+    texts: pa.Array | pa.ChunkedArray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc k-word-shingle hash sets for a whole batch, vectorized.
+
+    Returns (flat shingle hashes, doc boundary offsets into it). A doc with
+    fewer than k words contributes one fallback hash (its word-hash fold)."""
+    wh, offs = _batch_word_hashes(texts)
+    n_docs = len(offs) - 1
+    wc = np.diff(offs)
+    n_sh = np.maximum(wc - k + 1, 0)
+    if len(wh) >= k:
+        with np.errstate(over="ignore"):
+            s = wh[: len(wh) - k + 1] * _SHINGLE_MULT[0]
+            for j in range(1, k):
+                s = s + wh[j : len(wh) - k + 1 + j] * _SHINGLE_MULT[j]
+        # drop cross-boundary positions: for each internal doc start b, flat
+        # positions b-k+1..b-1 span two docs
+        valid = np.ones(len(s), dtype=bool)
+        if n_docs > 1 and k > 1:
+            bad = (np.add.outer(offs[1:-1], np.arange(-(k - 1), 0))).ravel()
+            bad = bad[(bad >= 0) & (bad < len(s))]
+            valid[bad] = False
+        s = s[valid]
+    else:
+        s = np.empty(0, dtype=np.uint64)
+
+    # docs with <k words: fold their word hashes into one fallback hash
+    # (split_pattern yields >=1 word per doc, so every doc emits something)
+    short = np.nonzero(wc < k)[0]
+    if len(short):
+        out_counts = np.where(wc >= k, n_sh, 1)
+        out = np.empty(int(out_counts.sum()), dtype=np.uint64)
+        out_offs = np.concatenate([[0], np.cumsum(out_counts)])
+        s_offs = np.concatenate([[0], np.cumsum(n_sh)])
+        copy_docs = np.nonzero(wc >= k)[0]
+        for d in copy_docs.tolist():
+            out[out_offs[d] : out_offs[d + 1]] = s[s_offs[d] : s_offs[d + 1]]
+        with np.errstate(over="ignore"):
+            for d in short.tolist():
+                seg = wh[offs[d] : offs[d + 1]]
+                out[out_offs[d]] = (seg * _SHINGLE_MULT[0]).sum()
+        return out, out_offs
+    return s, np.concatenate([[0], np.cumsum(n_sh)])
+
 
 def _word_shingles(text: str, k: int) -> np.ndarray:
-    words = text.split(" ")
-    if len(words) < k:
-        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
-    return np.unique(np.array(
-        [zlib.crc32(" ".join(words[i : i + k]).encode()) for i in range(len(words) - k + 1)],
-        dtype=np.uint64,
-    ))
+    """Single-doc unique shingle set (used for exact-Jaccard verification);
+    same hash family as the batch path."""
+    flat, offs = _batch_shingle_hashes(pa.array([text]), k)
+    return np.unique(flat)
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -59,24 +156,42 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    # (a*x+b) mod p per permutation, vectorized over shingles × perms
-    with np.errstate(over="ignore"):
-        prod = np.multiply.outer(shingles, a) + b  # wraps in uint64; fine as a hash
-    return prod.min(axis=0)
+def _batch_minhash(
+    texts: pa.Array | pa.ChunkedArray, k: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash signatures for a whole batch.
+
+    Outer product (shingles x permutations) chunked to bound memory, with one
+    ``np.minimum.reduceat`` per chunk collapsing doc segments — no per-doc
+    Python-level hashing (duplicate shingles cannot change a min, so the
+    flat shingle stream needs no per-doc unique)."""
+    sh, offs = _batch_shingle_hashes(texts, k)
+    n_docs = len(offs) - 1
+    num_perm = len(a)
+    sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
+    chunk = max(1, 8_000_000 // num_perm)
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        while d1 < n_docs and offs[d1 + 1] - offs[d0] <= chunk:
+            d1 += 1
+        seg = sh[offs[d0] : offs[d1]]
+        with np.errstate(over="ignore"):
+            prod = seg[:, None] * a[None, :] + b
+        starts = (offs[d0:d1] - offs[d0]).astype(np.int64)
+        sigs[d0:d1] = np.minimum.reduceat(prod, starts, axis=0)
+        d0 = d1
+    return sigs
 
 
 def minhash_signatures(ds: rd.Dataset, k: int = 3, num_perm: int = 64) -> rd.Dataset:
     a, b = _minhash_params(num_perm)
 
     def fn(batch: pa.Table) -> pa.Table:
-        sigs = [
-            _minhash(_word_shingles(t, k), a, b).astype(np.int64)
-            for t in batch.column("text").to_pylist()
-        ]
+        sigs = _batch_minhash(batch.column("text"), k, a, b).view(np.int64)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64())),
+            "sig": pa.array(sigs.tolist(), type=pa.list_(pa.int64())),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -95,60 +210,77 @@ def dedup_minhash_lsh(
     a, b = _minhash_params(num_perm)
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_hashes, shingle_json = [], [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            sh = _word_shingles(text, k)
-            sig = _minhash(sh, a, b)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                doc_ids.append(doc_id)
-                band_ids.append(band)
-                band_hashes.append(zlib.crc32(chunk.tobytes()))
-            # ship the shingle set (as int64 list) for in-group verification
+        sigs = _batch_minhash(batch.column("text"), k, a, b)
+        n = len(sigs)
+        banded = sigs.reshape(n, bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            # positional fold of each band's rows into one 64-bit bucket hash
+            mult = (np.arange(rows_per_band, dtype=np.uint64) * np.uint64(2) + np.uint64(1)) \
+                * np.uint64(0x9E3779B97F4A7C15)
+            bh = (banded * mult).sum(axis=2)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": pa.array(doc_ids),
-            "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, bands)),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.ravel().view(np.int64)),
         })
 
-    candidates = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+    candidates = _grouped_map(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["band_id", "band_hash"],
+        _bucket_pairs,
     )
-    # dedupe pairs discovered by multiple bands, then verify exact jaccard
-    pairs = candidates.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-    # verification joins back on a broadcast id→text map (fine while the
-    # corpus-side lookup fits the driver; at scale, ship shingle sets through
-    # the band groupby instead — documented partitioning assumption)
-    docs = ds.select_columns(["doc_id", "text"]).take_all()
-    text_by_id = {r["doc_id"]: r["text"] for r in docs}
+    # one more grouped stage dedupes pairs discovered by multiple bands AND
+    # verifies exact jaccard, joining back on a broadcast id→text map:
+    # ray.put ONCE, read per task (fine while the candidate corpus fits the
+    # object store; at scale, ship shingle sets through the band groupby
+    # instead — documented partitioning assumption)
+    import ray
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    docs = ds.select_columns(["doc_id", "text"]).take_all()
+    lookup_ref = ray.put({r["doc_id"]: r["text"] for r in docs})
+
+    def dedup_and_verify(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.drop_duplicates(["doc_a", "doc_b"])
+        if not len(batch):
+            return pd.DataFrame({"doc_a": pd.Series(dtype=batch["doc_a"].dtype),
+                                 "doc_b": pd.Series(dtype=batch["doc_b"].dtype),
+                                 "jaccard": pd.Series(dtype=np.float64)})
+        lookup = ray.get(lookup_ref)
+        fa, oa = _batch_shingle_hashes(pa.array([lookup[d] for d in batch["doc_a"]]), k)
+        fb, ob = _batch_shingle_hashes(pa.array([lookup[d] for d in batch["doc_b"]]), k)
         out = []
-        for _, row in batch.iterrows():
-            sa = _word_shingles(text_by_id[row.doc_a], k)
-            sb = _word_shingles(text_by_id[row.doc_b], k)
-            inter = len(np.intersect1d(sa, sb))
+        for i, (da, db) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
+            sa = np.unique(fa[oa[i] : oa[i + 1]])
+            sb = np.unique(fb[ob[i] : ob[i + 1]])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             j = inter / union if union else 1.0
             if j >= jaccard_threshold:
-                out.append({"doc_a": row.doc_a, "doc_b": row.doc_b, "jaccard": j})
+                out.append({"doc_a": da, "doc_b": db, "jaccard": j})
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=batch["doc_a"].dtype),
+                                 "doc_b": pd.Series(dtype=batch["doc_b"].dtype),
+                                 "jaccard": pd.Series(dtype=np.float64)})
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
-    return pairs.map_batches(verify, batch_format="pandas")
+    return _grouped_map(candidates, ["doc_a", "doc_b"], dedup_and_verify)
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(g["doc_id"].tolist())
-    out = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            out.append({"doc_a": ids[i], "doc_b": ids[j]})
-    return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """All intra-bucket pairs for a partition of complete buckets. Singleton
+    buckets (the vast majority) are dropped vectorized before the group loop."""
+    dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
+    out_a, out_b = [], []
+    for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
+        ids = np.sort(g["doc_id"].values)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[iu])
+        out_b.append(ids[ju])
+    if not out_a:  # typed empty frame so Ray's block size accounting stays happy
+        return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
+                             "doc_b": pd.Series(dtype=df["doc_id"].dtype)})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
 
 # ---------------------------------------------------------------------------
@@ -156,21 +288,30 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def simhash_signatures(ds: rd.Dataset) -> rd.Dataset:
-    """64-bit SimHash over word crc32 hashes (unit weights), vectorized."""
+    """64-bit SimHash over vectorized word hashes (unit weights): per-bit
+    votes summed per doc with one ``np.add.reduceat`` over the flat stream."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        sigs = []
-        for text in batch.column("text").to_pylist():
-            words = text.split(" ")
-            h = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
-            h = h * np.uint64(0x9E3779B97F4A7C15)  # spread to 64 bits
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            sig = int(((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            sigs.append(sig - (1 << 64) if sig >> 63 else sig)
+        wh, offs = _batch_word_hashes(batch.column("text"))
+        n_docs = len(offs) - 1
+        shifts = np.arange(64, dtype=np.uint64)
+        sigs = np.empty(n_docs, dtype=np.uint64)
+        chunk = 200_000  # words per chunk: bounds the (words x 64) bit matrix
+        d0 = 0
+        weights = np.uint64(1) << shifts
+        while d0 < n_docs:
+            d1 = d0 + 1
+            while d1 < n_docs and offs[d1 + 1] - offs[d0] <= chunk:
+                d1 += 1
+            seg = wh[offs[d0] : offs[d1]]
+            bits = ((seg[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            starts = (offs[d0:d1] - offs[d0]).astype(np.int64)
+            votes = np.add.reduceat(2 * bits - 1, starts, axis=0)
+            sigs[d0:d1] = ((votes > 0).astype(np.uint64) * weights).sum(axis=1)
+            d0 = d1
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(sigs, type=pa.int64()),
+            "simhash": pa.array(sigs.view(np.int64)),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -183,40 +324,52 @@ def dedup_simhash(ds: rd.Dataset, max_hamming: int = 3, blocks: int = 4) -> rd.D
     sigs = simhash_signatures(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, block_ids, block_vals, full = [], [], [], []
+        sig = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         width = 64 // blocks
-        for doc_id, sig in zip(batch.column("doc_id").to_pylist(),
-                               batch.column("simhash").to_pylist()):
-            u = sig & ((1 << 64) - 1)
-            for bi in range(blocks):
-                doc_ids.append(doc_id)
-                block_ids.append(bi)
-                block_vals.append((u >> (bi * width)) & ((1 << width) - 1))
-                full.append(sig)
+        mask = np.uint64((1 << width) - 1)
+        vals = np.stack(
+            [(sig >> np.uint64(bi * width)) & mask for bi in range(blocks)], axis=1
+        )
         return pa.table({
-            "doc_id": pa.array(doc_ids),
-            "block_id": pa.array(block_ids, type=pa.int32()),
-            "block_val": pa.array(block_vals, type=pa.int64()),
-            "simhash": pa.array(full, type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, blocks)),
+            "block_id": pa.array(np.tile(np.arange(blocks, dtype=np.int32), len(ids))),
+            "block_val": pa.array(vals.ravel().view(np.int64)),
+            "simhash": pa.array(np.repeat(sig.view(np.int64), blocks)),
         })
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g[["doc_id", "simhash"]].drop_duplicates().sort_values("doc_id").values
-        out = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin((int(rows[i][1]) ^ int(rows[j][1])) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    out.append({"doc_a": rows[i][0], "doc_b": rows[j][0], "hamming": d})
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["block_id", "block_val"], keep=False)]
+        out_a, out_b, out_d = [], [], []
+        for _, g in dup.groupby(["block_id", "block_val"], sort=False):
+            g = g[["doc_id", "simhash"]].drop_duplicates().sort_values("doc_id")
+            ids = g["doc_id"].values
+            h = g["simhash"].values.astype(np.int64).view(np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = h[iu] ^ h[ju]
+            d = np.zeros(len(x), dtype=np.int64)  # popcount via byte LUT
+            for shift in range(0, 64, 8):
+                d += _POPCOUNT8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
+            keep = d <= max_hamming
+            out_a.append(ids[iu][keep])
+            out_b.append(ids[ju][keep])
+            out_d.append(d[keep])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
+                                 "doc_b": pd.Series(dtype=df["doc_id"].dtype),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_d)})
 
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["block_id", "block_val"])
-        .map_groups(bucket_verify, batch_format="pandas")
+    pairs = _grouped_map(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["block_id", "block_val"],
+        bucket_verify,
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return _grouped_map(
+        pairs, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
     )
 
 

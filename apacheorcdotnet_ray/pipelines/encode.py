@@ -196,13 +196,19 @@ def encode_corpus(
     ]
     if todo:
         ds = rd.from_items(todo, override_num_blocks=len(todo))
-        kwargs = dict(
-            fn_constructor_kwargs={"out_dir": out_dir, "config": config, "columns": columns},
-            batch_format="pyarrow",
-            batch_size=1,
-        )
-        kwargs["concurrency"] = concurrency or (1, 32)
-        records_ds = ds.map_batches(_EncodePartition, **kwargs)
+        if concurrency is None:
+            # stateless task pool: Ray reuses warm workers, no actor startup
+            # latency, and scheduling load-balances across the whole cluster
+            fn = _EncodePartition(out_dir=out_dir, config=config, columns=columns)
+            records_ds = ds.map_batches(fn.__call__, batch_format="pyarrow", batch_size=1)
+        else:
+            records_ds = ds.map_batches(
+                _EncodePartition,
+                fn_constructor_kwargs={"out_dir": out_dir, "config": config, "columns": columns},
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=concurrency,
+            )
         records = records_ds.take_all()  # small: one record per partition
         manifest.append(records)
         manifest.rewrite_sorted()

@@ -218,12 +218,13 @@ def _encode_string(name: str, valid: pa.Array, config: EncodeConfig, streams: li
         import zlib
 
         sample_bytes = data[: 1 << 15]
-        fsst_sample = fsst.encode_chunk(sample_bytes)
+        table = fsst.train(sample_bytes)
+        fsst_sample = fsst.encode_chunk(sample_bytes, table=table)
         # compare post-zlib sizes — both streams get block-compressed later
         z_direct = len(zlib.compress(sample_bytes, 1))
         z_fsst = len(zlib.compress(fsst_sample, 1))
         if z_fsst < 0.9 * z_direct:
-            streams.append(Stream(name, DATA, "fsst", fsst.encode_chunk(data), nv))
+            streams.append(Stream(name, DATA, "fsst", fsst.encode_chunk(data, table=table), nv))
             return "fsst"
 
     streams.append(Stream(name, DATA, "raw", data, nv, {"dtype": "bytes"}))

