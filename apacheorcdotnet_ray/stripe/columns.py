@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..codecs import bool_rle, byte_rle, for_, fsst, intdict, rlev2
+from ..codecs import bool_rle, byte_rle, for_, fsst, intdict, rlev2, varint
 from .config import EncodeConfig
 from .stats import column_stats
 
@@ -94,6 +94,8 @@ def _decode_int_data(stream: Stream) -> np.ndarray:
         return for_.decode(stream.data)
     if stream.codec == "intdict":
         return intdict.decode(stream.data)
+    if stream.codec == "varint":
+        return varint.decode(stream.data, stream.n, stream.params.get("signed", True))
     raise ValueError(f"unknown int codec {stream.codec}")
 
 
@@ -126,10 +128,33 @@ def _encode_values(name: str, valid: pa.Array, config: EncodeConfig, streams: li
     nv = len(valid)
 
     if pa.types.is_integer(t):
+        if t.bit_width == 8:
+            # 8-bit columns take the reference's ByteRLE path
+            # (ColumnTypes/ByteWriter.cs; sbyte is viewed as its byte pattern)
+            raw = valid.to_numpy(zero_copy_only=False).astype(
+                np.int8 if pa.types.is_signed_integer(t) else np.uint8, copy=False
+            ).view(np.uint8)
+            streams.append(Stream(name, DATA, "byterle", byte_rle.encode(raw), nv))
+            return "byterle"
         vals = valid.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         codec, enc = _encode_int_data(vals, config, signed=True)
         streams.append(Stream(name, DATA, codec, enc, nv, {"signed": True}))
         return codec
+
+    if pa.types.is_decimal(t):
+        # decimal128 with mantissa in int64 range (precision <= 18, like the
+        # reference, ColumnTypes/DecimalWriter.cs:30-31): zigzag-varint DATA
+        # stream; Arrow's scale is per-type, so no SECONDARY stream needed
+        lanes = np.frombuffer(
+            valid.buffers()[1], dtype=np.int64, count=2 * nv, offset=valid.offset * 16
+        )
+        lo, hi = lanes[0::2], lanes[1::2]
+        if not (hi == (lo >> 63)).all():
+            raise NotImplementedError(
+                f"decimal column {name} has mantissas beyond 64 bits (precision>18)")
+        streams.append(Stream(name, DATA, "varint", varint.encode(lo, True), nv,
+                              {"signed": True}))
+        return "varint"
 
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
         vals = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -261,8 +286,17 @@ def decode_column(field_: pa.Field, streams: list[Stream], n_rows: int) -> pa.Ar
 
 def _decode_values(name: str, t: pa.DataType, by_kind: dict, child_streams: list[Stream], nv: int) -> pa.Array:
     if pa.types.is_integer(t):
+        if t.bit_width == 8:
+            raw = byte_rle.decode(by_kind[DATA].data, nv)
+            return pa.array(raw.view(np.int8 if pa.types.is_signed_integer(t) else np.uint8), type=t)
         vals = _decode_int_data(by_kind[DATA])
         return pa.array(vals, type=pa.int64()).cast(t)
+
+    if pa.types.is_decimal(t):
+        lo = varint.decode(by_kind[DATA].data, nv, True)
+        lanes = np.empty(2 * nv, dtype=np.int64)
+        lanes[0::2], lanes[1::2] = lo, lo >> 63
+        return pa.Array.from_buffers(t, nv, [None, pa.py_buffer(lanes.tobytes())])
 
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
         vals = _decode_int_data(by_kind[DATA])

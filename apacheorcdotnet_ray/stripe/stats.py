@@ -45,6 +45,10 @@ def column_stats(arr: pa.ChunkedArray | pa.Array) -> dict:
         stats["sum"] = pc.sum(pc.utf8_length(arr)).as_py()  # total char length
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
         stats["sum"] = pc.sum(pc.binary_length(arr)).as_py()
+    elif pa.types.is_decimal(t):
+        mm = pc.min_max(arr)
+        stats["min"] = float(mm["min"].as_py())
+        stats["max"] = float(mm["max"].as_py())
     elif pa.types.is_timestamp(t) or pa.types.is_date(t):
         mm = pc.min_max(arr)
         stats["min"] = str(mm["min"].as_py())

@@ -62,3 +62,33 @@ def test_fsst_roundtrip_binary_all_bytes():
 
 def test_fsst_empty():
     assert fsst.decode_chunk(fsst.encode_chunk(b"")) == b""
+
+
+# ---------------------------------------------------------------------------
+# varint stream codec (reference VarIntWriter.cs/VarIntReader.cs analog)
+
+
+def test_varint_roundtrip_random():
+    from apacheorcdotnet_ray.codecs import varint
+
+    rng = np.random.default_rng(3)
+    for vals in (
+        rng.integers(-(2**62), 2**62, 10_000).astype(np.int64),
+        np.array([0, -1, 1, 2**63 - 1, -(2**63), 127, 128, -128], dtype=np.int64),
+        np.zeros(1000, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    ):
+        for signed in (True, False):
+            enc = varint.encode(vals, signed)
+            dec = varint.decode(enc, len(vals), signed)
+            assert np.array_equal(dec, vals)
+
+
+def test_varint_single_byte_values():
+    from apacheorcdotnet_ray.codecs import varint
+
+    # zigzag(0..63) fits in one byte each
+    vals = np.arange(64, dtype=np.int64)
+    enc = varint.encode(vals, True)
+    assert len(enc) == 64
+    assert np.array_equal(varint.decode(enc, 64, True), vals)

@@ -161,3 +161,29 @@ def test_size_parity_floor_vs_pure_rlev2():
     buf, footer = encode_stripe(t, EncodeConfig(compression="none"))
     data_stream = [s for s in footer["streams"] if s["kind"] == "DATA"][0]
     assert data_stream["raw_length"] <= len(rlev2.encode(vals, True))
+
+
+def test_int8_column_byterle():
+    t = pa.table({
+        "b": pa.array(np.r_[np.repeat(np.int8(7), 500), rng_ints8()], type=pa.int8()),
+        "ub": pa.array(np.arange(1000) % 200, type=pa.uint8()),
+    })
+    enc, footer = encode_stripe(t, EncodeConfig())
+    dec = decode_stripe(enc)
+    assert dec.equals(t)
+    assert any(s["codec"] == "byterle" for s in footer["streams"])
+
+
+def rng_ints8():
+    return np.random.default_rng(5).integers(-128, 128, 500).astype(np.int8)
+
+
+def test_decimal_column_varint():
+    import decimal
+    vals = [decimal.Decimal("123.456"), decimal.Decimal("-7.890"), None,
+            decimal.Decimal("0.001"), decimal.Decimal("99999.999")]
+    t = pa.table({"d": pa.array(vals, type=pa.decimal128(18, 3))})
+    enc, footer = encode_stripe(t, EncodeConfig())
+    dec = decode_stripe(enc)
+    assert dec.equals(t)
+    assert any(s["codec"] == "varint" for s in footer["streams"])
