@@ -66,6 +66,22 @@ def _tokenize_roundtrip(sf_dir: str):
     return dec.select_columns(["doc_id", "n_tok", "source"])
 
 
+def _grouped_roundtrip(sf_dir: str):
+    """Tokenize → source-keyed skew-split stripe packing → decode."""
+    import shutil
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_grouped
+    from apacheorcdotnet_ray.pipelines.text import tokenize_documents
+
+    out = _out_dir(sf_dir, "rt-grouped")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        ds = tokenize_documents(_read(sf_dir, "documents"))
+        encode_grouped(ds, out).materialize()
+        open(os.path.join(out, "_done"), "w").close()
+    return decode_dataset(out).select_columns(["doc_id", "n_tok", "source"])
+
+
 def entry() -> Any:
     sf_dir = "/root/testdata/sf0.001"
     from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
@@ -117,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_documents": roundtrip("documents"),
         "roundtrip_embeddings": roundtrip("embeddings"),
         "tokenize_roundtrip": _tokenize_roundtrip,
+        "grouped_encode_roundtrip": _grouped_roundtrip,
         # --- statistics (partial+final aggregation tree) ---
         "stats_lineitem": lambda sf_dir: stats.stats_row(
             _read(sf_dir, "lineitem"),
@@ -185,6 +202,11 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_embeddings": "SELECT * FROM embeddings",
         "tokenize_roundtrip": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+            " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, source"
+            " FROM documents"
+        ),
+        "grouped_encode_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
             " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, source"
             " FROM documents"

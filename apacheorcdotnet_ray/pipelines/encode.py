@@ -59,6 +59,72 @@ def decode_dataset(stripe_dir: str, columns: list[str] | None = None) -> rd.Data
 
 
 # ---------------------------------------------------------------------------
+# source-keyed stripe packing with explicit skew splitting (north rule)
+
+
+def encode_grouped(
+    ds: rd.Dataset,
+    out_dir: str,
+    key: str = "source",
+    weight_col: str = "n_tok",
+    id_col: str = "doc_id",
+    config: EncodeConfig | None = None,
+    stripe_value_budget: int | None = None,
+) -> rd.Dataset:
+    """Encode with stripes packed per ``key`` (one source never mixes into
+    another's stripes) and hot keys split explicitly:
+
+    1. a tiny pre-aggregated ``groupby(key).sum(weight_col)`` measures each
+       source (partials per batch → the shuffle moves one row per
+       (batch, key), never data rows);
+    2. any source whose total flattened-value weight exceeds the stripe
+       budget is split into ``ceil(total/budget)`` salted sub-keys; rows are
+       assigned ``salt = hash(id) % n_salts`` — deterministic, uniform, and
+       coordination-free, so one giant source cannot serialize the job;
+    3. ``groupby(stripe_key)`` co-locates each sub-group and ``map_groups``
+       encodes exactly one stripe per group.
+
+    Returns the metrics Dataset (one row per stripe, same schema as
+    ``StripeEncoder``)."""
+    import ray
+
+    from .stats import group_stats_by
+
+    config = config or EncodeConfig()
+    budget = stripe_value_budget or config.target_stripe_values
+    os.makedirs(out_dir, exist_ok=True)
+
+    totals = group_stats_by(
+        ds.select_columns([key, weight_col]), key, weight_col
+    ).take_all()  # tiny: one row per source
+    n_salts = {r[key]: max(1, -(-int(r["sum_val"]) // budget)) for r in totals}
+    salts_ref = ray.put(n_salts)
+
+    def add_stripe_key(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        salts = ray.get(salts_ref)
+        keys = batch.column(key).to_pylist()
+        ns = np.array([salts.get(s, 1) for s in keys], dtype=np.uint64)
+        h = pl.from_arrow(batch.select([id_col])).hash_rows(seed=2).to_numpy()
+        salt = (h % ns).astype(np.int64)
+        sk = [f"{s}#{int(x)}" for s, x in zip(keys, salt)]
+        return batch.append_column("_stripe_key", pa.array(sk, type=pa.string()))
+
+    enc = StripeEncoder(out_dir=out_dir, config=config, key_column=id_col,
+                        lineage_columns=(key,))
+
+    def encode_group(group: pa.Table) -> pa.Table:
+        return enc(group.drop_columns(["_stripe_key"]))
+
+    return (
+        ds.map_batches(add_stripe_key, batch_format="pyarrow")
+        .groupby("_stripe_key")
+        .map_groups(encode_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # resumable partition-mapped job
 
 

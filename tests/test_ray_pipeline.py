@@ -102,3 +102,48 @@ def test_column_stats_rollup(corpus, ray_session, tmp_path):
     assert st["max"] == int(all_ntok.max())
     assert st["sum"] == int(all_ntok.sum())
     assert st["count"] == len(all_ntok)
+
+
+def test_encode_grouped_skew_split(corpus, ray_session, tmp_path):
+    """Source-keyed stripe packing: hot sources split into multiple stripes,
+    each stripe is source-pure, and the full round-trip is lossless."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_grouped
+    from apacheorcdotnet_ray.pipelines.verify import verify_roundtrip
+    from apacheorcdotnet_ray.stripe import EncodeConfig
+
+    rng = np.random.default_rng(9)
+    n = 600
+    # one giant skewed source (~80% of tokens) + several small ones
+    sources = np.where(rng.random(n) < 0.8, "hot", rng.choice(["a", "b", "c"], n))
+    tok_lens = rng.integers(50, 200, n)
+    toks = [rng.integers(0, 50257, L).astype(np.int32) for L in tok_lens]
+    offs = np.concatenate([[0], np.cumsum(tok_lens)]).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(pa.array(offs), pa.array(np.concatenate(toks), type=pa.int32()))
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "tokens": tokens,
+        "n_tok": pa.array(tok_lens.astype(np.int32)),
+        "source": pa.array(sources.tolist()),
+    })
+    ds = rd.from_arrow(t)
+    out = str(tmp_path / "grouped")
+    budget = 8000  # tokens per stripe → the hot source must split
+    metrics = encode_grouped(ds, out, config=EncodeConfig(), stripe_value_budget=budget).to_pandas()
+
+    lineages = metrics["lineage_json"].map(json.loads)
+    hot_stripes = [l for l in lineages if l.get("source") == "hot"]
+    assert len(hot_stripes) > 1, "hot source must be split across stripes"
+    # every stripe is source-pure: lineage records exactly one source value
+    assert all("source" in l for l in lineages)
+    # stripes stay near the budget (hash salting is approximately uniform)
+    hot_rows = metrics[[json.loads(x).get("source") == "hot" for x in metrics["lineage_json"]]]
+    assert (hot_rows["n_values"] < budget * 3).all()
+
+    res = verify_roundtrip(ds, decode_dataset(out))
+    assert res["content_match"], res
