@@ -65,18 +65,56 @@ def encode(values: np.ndarray, signed: bool, aligned: bool = False) -> bytes:
     pos = 0
     n = len(v)
     zz_all = (zigzag_encode(v) if signed else v).view(U64)
-    scalar_streak = False
     while pos < n:
-        if n - pos >= _WINDOW and not scalar_streak:
+        if n - pos >= _WINDOW:
             consumed = _encode_batch(out, v, zz_all, pos, signed, aligned)
             if consumed:
                 pos += consumed
                 continue
+            # first window starts with a 3..10 repeat → vectorized SR stream
+            consumed = _encode_sr_stream(out, v, zz_all, pos, n)
+            if consumed:
+                pos += consumed
+                continue
         consumed = _encode_window(out, v[pos : pos + _WINDOW], signed, aligned)
-        # batching pays off again only once a full window was consumed
-        scalar_streak = consumed != _WINDOW and pos + consumed < n
         pos += consumed
     return bytes(out)
+
+
+def _encode_sr_stream(
+    out: bytearray, v: np.ndarray, zz_all: np.ndarray, pos: int, n: int
+) -> int:
+    """Emit consecutive SHORT_REPEAT runs vectorized: while the leading run at
+    the scan position is 3..10 long, the window encoder consumes exactly that
+    run (Writer.cs:52-59), so a maximal-run scan emits them all in one pass.
+    Stops at the first run outside [3,10] (the caller's window logic resumes
+    there) or at a lookahead-truncated run (next call re-examines it)."""
+    look = v[pos : pos + (1 << 16)]
+    change = np.nonzero(look[1:] != look[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    lens = np.diff(np.concatenate([starts, [len(look)]]))
+    truncated_last = pos + len(look) < n  # final run may continue beyond lookahead
+    ok = (lens >= 3) & (lens <= 10)
+    if truncated_last:
+        ok[-1] = False
+    stop = int(np.argmin(ok)) if not ok.all() else len(ok)
+    if stop == 0:
+        return 0
+    run_starts = starts[:stop]
+    run_lens = lens[:stop]
+    vals = zz_all[pos + run_starts]
+    nb = np.maximum((bit_widths(vals) + 7) // 8, 1)
+    out_offs = np.concatenate([[0], np.cumsum(nb + 1)])
+    buf = np.empty(int(out_offs[-1]), dtype=np.uint8)
+    buf[out_offs[:-1]] = ((nb - 1) << 3) | (run_lens - 3)
+    for b in range(8):
+        mask = nb > b
+        if not mask.any():
+            break
+        shift = ((nb[mask] - 1 - b) * 8).astype(np.uint64)
+        buf[out_offs[:-1][mask] + 1 + b] = ((vals[mask] >> shift) & np.uint64(0xFF)).astype(np.uint8)
+    out.extend(buf.tobytes())
+    return int(run_starts[-1] + run_lens[-1])
 
 
 def _encode_batch(

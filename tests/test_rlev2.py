@@ -286,3 +286,60 @@ def test_roundtrip_patched_base_max4():
 
 def test_roundtrip_direct_large_negatives():
     roundtrip([-7486502418706614742, 0, 1, 1, -5535739865598783616], True, False)
+
+
+def test_sr_stream_bytes_match_scalar_path():
+    """The vectorized SHORT_REPEAT stream must emit byte-identical output to
+    the scalar window cascade (greedy 512-window semantics, Writer.cs:19-28)."""
+    import numpy as np
+
+    from apacheorcdotnet_ray.codecs import rlev2
+
+    rng = np.random.default_rng(17)
+    v = np.repeat(rng.integers(-(2**40), 2**40, 5000),
+                  rng.integers(1, 14, 5000)).astype(np.int64)
+
+    def scalar_encode(values, signed, aligned=False):
+        out = bytearray()
+        pos = 0
+        while pos < len(values):
+            pos += rlev2._encode_window(out, values[pos : pos + 512], signed, aligned)
+        return bytes(out)
+
+    for signed in (True, False):
+        fast = rlev2.encode(v, signed)
+        slow = scalar_encode(v, signed)
+        assert fast == slow
+        assert np.array_equal(rlev2.decode(fast, signed, len(v)), v)
+
+
+def test_batched_encoder_bytes_match_scalar_path_all_shapes():
+    import numpy as np
+
+    from apacheorcdotnet_ray.codecs import rlev2
+
+    def scalar_encode(values, signed, aligned=False):
+        out = bytearray()
+        pos = 0
+        while pos < len(values):
+            pos += rlev2._encode_window(out, values[pos : pos + 512], signed, aligned)
+        return bytes(out)
+
+    rng = np.random.default_rng(23)
+    shapes = {
+        "random": rng.integers(-(2**31), 2**31, 20_000),
+        "clustered+outliers": np.where(rng.random(20_000) < 0.04,
+                                       rng.integers(0, 2**45, 20_000),
+                                       rng.integers(1000, 2000, 20_000)),
+        "monotonic": np.cumsum(rng.integers(0, 100, 20_000)),
+        "descending": -np.cumsum(rng.integers(0, 100, 20_000)),
+        "const-blocks": np.repeat(rng.integers(0, 10, 50), 400),
+        "near-minmax": rng.choice([2**63 - 1, -(2**63), 0, 1, -1], 20_000),
+    }
+    for name, v in shapes.items():
+        v = v.astype(np.int64)
+        for aligned in (False, True):
+            for signed in (True, False):
+                fast = rlev2.encode(v, signed, aligned)
+                slow = scalar_encode(v, signed, aligned)
+                assert fast == slow, (name, signed, aligned)
