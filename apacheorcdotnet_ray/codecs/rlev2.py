@@ -424,13 +424,39 @@ def decode_from(
     chunks: list[np.ndarray] = []
     total = 0
     end = len(buf)
-    while pos < end and (expected_count is None or total < expected_count):
+    # consecutive SHORT_REPEAT runs batch into one np.repeat (run-heavy
+    # streams would otherwise pay one np.full per 3-10 values)
+    sr_vals: list[int] = []
+    sr_reps: list[int] = []
+    sr_pending = 0
+
+    def flush_sr():
+        nonlocal total, sr_pending
+        if not sr_vals:
+            return
+        raw = np.array(sr_vals, dtype=U64)
+        vals = zigzag_decode(raw.view(I64)) if signed else raw.view(I64)
+        arr = np.repeat(vals, sr_reps)
+        chunks.append(arr)
+        total += len(arr)
+        sr_vals.clear()
+        sr_reps.clear()
+        sr_pending = 0
+
+    while pos < end and (expected_count is None or total + sr_pending < expected_count):
         first = buf[pos]
         pos += 1
         etype = (first >> 6) & 0x3
         if etype == 0:
-            arr, pos = _read_short_repeat(buf, pos, first, signed)
-        elif etype == 1:
+            width = ((first >> 3) & 0x7) + 1
+            sr_vals.append(int.from_bytes(buf[pos : pos + width], "big"))
+            rep = (first & 0x7) + 3
+            sr_reps.append(rep)
+            sr_pending += rep
+            pos += width
+            continue
+        flush_sr()
+        if etype == 1:
             arr, pos = _read_direct(buf, pos, first, signed)
         elif etype == 2:
             arr, pos = _read_patched_base(buf, pos, first)
@@ -438,6 +464,7 @@ def decode_from(
             arr, pos = _read_delta(buf, pos, first, signed)
         chunks.append(arr)
         total += len(arr)
+    flush_sr()
     if expected_count is not None and total != expected_count:
         raise ValueError(f"RLEv2 decode produced {total} values, expected {expected_count}")
     if not chunks:
