@@ -112,7 +112,7 @@ def encode_grouped(
         return batch.append_column("_stripe_key", pa.array(sk, type=pa.string()))
 
     enc = StripeEncoder(out_dir=out_dir, config=config, key_column=id_col,
-                        lineage_columns=(key,))
+                        lineage_columns=(key,), adaptive_fsst_by=key)
 
     def encode_group(group: pa.Table) -> pa.Table:
         return enc(group.drop_columns(["_stripe_key"]))

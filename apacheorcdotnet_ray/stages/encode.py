@@ -48,17 +48,40 @@ class StripeEncoder:
         config: EncodeConfig | None = None,
         key_column: str | None = None,
         lineage_columns: tuple[str, ...] = (),
+        adaptive_fsst_by: str | None = None,
     ):
         self.out_dir = out_dir
         self.config = config or EncodeConfig()
         self.key_column = key_column
         self.lineage_columns = lineage_columns
+        # per-ACTOR adaptive state: source value → {column: FSST symbol table}.
+        # Symbol tables are re-used across stripes of the same source (they
+        # are still serialized into every stripe, so stripes stay
+        # self-describing and independently decodable).
+        self.adaptive_fsst_by = adaptive_fsst_by
+        self._fsst_cache: dict = {}
         os.makedirs(out_dir, exist_ok=True)
+
+    def _fsst_tables_for(self, batch: pa.Table) -> dict | None:
+        if not self.adaptive_fsst_by or self.adaptive_fsst_by not in batch.column_names:
+            return None
+        if batch.num_rows == 0:
+            return None
+        col = batch.column(self.adaptive_fsst_by)
+        src = col[0].as_py()
+        import pyarrow.compute as pc
+
+        if pc.count_distinct(col).as_py() != 1:
+            return None  # cache only applies to source-pure stripes
+        if len(self._fsst_cache) > 1024:
+            self._fsst_cache.clear()  # bound actor memory
+        return self._fsst_cache.setdefault(src, {})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         lineage = self._lineage(batch)
-        buf, footer = encode_stripe(batch, self.config, lineage=lineage)
+        buf, footer = encode_stripe(batch, self.config, lineage=lineage,
+                                    fsst_tables=self._fsst_tables_for(batch))
         content_hash = hashlib.sha256(buf).hexdigest()[:16]
         name = f"stripe-{batch.num_rows}-{content_hash}.oray"
         path = os.path.join(self.out_dir, name)

@@ -103,8 +103,17 @@ def _decode_int_data(stream: Stream) -> np.ndarray:
 # column encode
 
 
-def encode_column(name: str, arr: pa.Array | pa.ChunkedArray, config: EncodeConfig) -> tuple[str, list[Stream], dict]:
-    """Returns (encoding_name, streams, stats) for one top-level column chunk."""
+def encode_column(
+    name: str, arr: pa.Array | pa.ChunkedArray, config: EncodeConfig,
+    fsst_tables: dict | None = None,
+) -> tuple[str, list[Stream], dict]:
+    """Returns (encoding_name, streams, stats) for one top-level column chunk.
+
+    ``fsst_tables`` is an optional mutable per-actor cache (column name →
+    trained FSST symbol table): pass the same dict across stripes of one
+    ``source`` to amortize symbol-table training (the north-star stateful
+    actor-pool pattern; cf. the reference's per-stripe dictionary state,
+    StringWriter.cs:155-175)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     stats = column_stats(arr)
@@ -118,11 +127,12 @@ def encode_column(name: str, arr: pa.Array | pa.ChunkedArray, config: EncodeConf
     else:
         valid = arr
 
-    enc_name = _encode_values(name, valid, config, streams)
+    enc_name = _encode_values(name, valid, config, streams, fsst_tables)
     return enc_name, streams, stats
 
 
-def _encode_values(name: str, valid: pa.Array, config: EncodeConfig, streams: list[Stream]) -> str:
+def _encode_values(name: str, valid: pa.Array, config: EncodeConfig,
+                   streams: list[Stream], fsst_tables: dict | None = None) -> str:
     """Encode the non-null values of a column into DATA/LENGTH/... streams."""
     t = valid.type
     nv = len(valid)
@@ -174,7 +184,7 @@ def _encode_values(name: str, valid: pa.Array, config: EncodeConfig, streams: li
         return "raw"
 
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
-        return _encode_string(name, valid, config, streams)
+        return _encode_string(name, valid, config, streams, fsst_tables)
 
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         offsets = valid.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -182,7 +192,7 @@ def _encode_values(name: str, valid: pa.Array, config: EncodeConfig, streams: li
         codec, enc = _encode_int_data(lengths, config, signed=False)
         streams.append(Stream(name, LENGTH, codec, enc, nv, {"signed": False}))
         child = valid.flatten()
-        child_enc, child_streams, _ = encode_column(f"{name}.item", child, config)
+        child_enc, child_streams, _ = encode_column(f"{name}.item", child, config, fsst_tables)
         streams.extend(child_streams)
         return f"list[{child_enc}]"
 
@@ -201,7 +211,8 @@ def _string_bytes(valid: pa.Array) -> tuple[np.ndarray, bytes]:
     return lengths, data
 
 
-def _encode_string(name: str, valid: pa.Array, config: EncodeConfig, streams: list[Stream]) -> str:
+def _encode_string(name: str, valid: pa.Array, config: EncodeConfig,
+                   streams: list[Stream], fsst_tables: dict | None = None) -> str:
     nv = len(valid)
     if nv == 0:
         streams.append(Stream(name, DATA, "raw", b"", 0, {"dtype": "bytes"}))
@@ -243,7 +254,11 @@ def _encode_string(name: str, valid: pa.Array, config: EncodeConfig, streams: li
         import zlib
 
         sample_bytes = data[: 1 << 15]
-        table = fsst.train(sample_bytes)
+        table = fsst_tables.get(name) if fsst_tables is not None else None
+        if table is None:
+            table = fsst.train(sample_bytes)
+            if fsst_tables is not None:
+                fsst_tables[name] = table
         fsst_sample = fsst.encode_chunk(sample_bytes, table=table)
         # compare post-zlib sizes — both streams get block-compressed later
         z_direct = len(zlib.compress(sample_bytes, 1))

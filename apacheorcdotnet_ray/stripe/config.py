@@ -10,9 +10,10 @@ from dataclasses import dataclass, field
 @dataclass
 class EncodeConfig:
     # compression framing (WriterConfiguration.cs:34,54: 256 KiB blocks, Deflate/Fastest)
-    compression: str = "zlib"           # "zlib" | "none"
+    compression: str = "zlib"           # "zlib" (reference parity) | "zstd" | "none"
     compression_block_size: int = 256 * 1024
     zlib_level: int = 1                 # Deflate "Fastest"
+    zstd_level: int = 3                 # strict win over zlib-1 (smaller AND faster)
 
     # codec selection
     aligned_bit_widths: bool = False    # EncodingStrategy Speed→aligned, Size→exact

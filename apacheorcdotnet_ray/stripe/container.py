@@ -33,20 +33,27 @@ TAIL_MAGIC = b"ORAY"
 
 
 def encode_stripe(
-    table: pa.Table, config: EncodeConfig | None = None, lineage: dict | None = None
+    table: pa.Table, config: EncodeConfig | None = None, lineage: dict | None = None,
+    fsst_tables: dict | None = None,
 ) -> tuple[bytes, dict]:
-    """Encode one Arrow table (= one stripe) to container bytes + footer dict."""
+    """Encode one Arrow table (= one stripe) to container bytes + footer dict.
+
+    ``fsst_tables``: optional per-actor symbol-table cache shared across
+    stripes of the same source (see encode_column)."""
     config = config or EncodeConfig()
     out = bytearray(MAGIC)
     stream_dir = []
     columns_meta = []
     for name in table.column_names:
         col = table.column(name)
-        enc_name, streams, stats = encode_column(name, col, config)
+        enc_name, streams, stats = encode_column(name, col, config, fsst_tables)
         columns_meta.append({"name": name, "encoding": enc_name, "stats": stats})
         for s in streams:
             if config.compression == "zlib":
                 payload = compress(s.data, config.compression_block_size, config.zlib_level)
+            elif config.compression == "zstd":
+                payload = compress(s.data, config.compression_block_size,
+                                   config.zstd_level, codec="zstd")
             else:
                 payload = s.data
             stream_dir.append(
@@ -100,7 +107,8 @@ def decode_stripe(buf: bytes, columns: list[str] | None = None) -> pa.Table:
     footer = read_footer(buf)
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema"])))
     n_rows = footer["rows"]
-    zlib_framed = footer.get("compression") == "zlib"
+    codec = footer.get("compression")
+    framed = codec in ("zlib", "zstd")
 
     arrays = []
     fields = []
@@ -111,7 +119,7 @@ def decode_stripe(buf: bytes, columns: list[str] | None = None) -> pa.Table:
         for meta in footer["streams"]:
             if meta["col"] == field_.name or meta["col"].startswith(field_.name + "."):
                 payload = buf[meta["offset"] : meta["offset"] + meta["length"]]
-                data = decompress(payload) if zlib_framed else payload
+                data = decompress(payload, codec) if framed else payload
                 streams.append(
                     Stream(meta["col"], meta["kind"], meta["codec"], data, meta["n"], meta["params"])
                 )

@@ -12,12 +12,38 @@ import zlib
 _MAX_BLOCK = 0x7FFFFF
 
 
-def compress(data: bytes, block_size: int = 256 * 1024, level: int = 1) -> bytes:
+def _compress_block(block: bytes, codec: str, level: int) -> bytes:
+    if codec == "zlib":
+        comp = zlib.compressobj(level, zlib.DEFLATED, -15)
+        return comp.compress(block) + comp.flush()
+    if codec == "zstd":
+        import pyarrow as pa
+
+        # pyarrow's zstd decompress requires the decompressed size, so zstd
+        # blocks carry a 3-byte little-endian raw-length prefix (counted in
+        # the store-if-bigger comparison)
+        z = pa.Codec("zstd", compression_level=level).compress(block, asbytes=True)
+        return len(block).to_bytes(3, "little") + z
+    raise ValueError(f"unknown framing codec {codec}")
+
+
+def _decompress_block(block: bytes, codec: str) -> bytes:
+    if codec == "zlib":
+        return zlib.decompress(block, -15)
+    if codec == "zstd":
+        import pyarrow as pa
+
+        raw_len = int.from_bytes(block[:3], "little")
+        return pa.Codec("zstd").decompress(block[3:], raw_len, asbytes=True)
+    raise ValueError(f"unknown framing codec {codec}")
+
+
+def compress(data: bytes, block_size: int = 256 * 1024, level: int = 1,
+             codec: str = "zlib") -> bytes:
     out = bytearray()
     for start in range(0, len(data), block_size):
         block = data[start : start + block_size]
-        comp = zlib.compressobj(level, zlib.DEFLATED, -15)
-        cdata = comp.compress(block) + comp.flush()
+        cdata = _compress_block(block, codec, level)
         if len(cdata) >= len(block):
             header = (len(block) << 1) | 1
             payload = block
@@ -31,7 +57,7 @@ def compress(data: bytes, block_size: int = 256 * 1024, level: int = 1) -> bytes
     return bytes(out)
 
 
-def decompress(data: bytes) -> bytes:
+def decompress(data: bytes, codec: str = "zlib") -> bytes:
     out = bytearray()
     pos = 0
     n = len(data)
@@ -44,5 +70,5 @@ def decompress(data: bytes) -> bytes:
         if raw & 1:  # stored original
             out.extend(block)
         else:
-            out.extend(zlib.decompress(block, -15))
+            out.extend(_decompress_block(block, codec))
     return bytes(out)

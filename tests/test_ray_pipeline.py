@@ -147,3 +147,42 @@ def test_encode_grouped_skew_split(corpus, ray_session, tmp_path):
 
     res = verify_roundtrip(ds, decode_dataset(out))
     assert res["content_match"], res
+
+
+def test_stripe_encoder_adaptive_fsst_cache(tmp_path):
+    """The encoder actor caches FSST symbol tables per source and reuses them
+    across stripes of the same source; output stripes stay self-describing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.stages.encode import StripeEncoder
+    from apacheorcdotnet_ray.stripe import EncodeConfig
+    from apacheorcdotnet_ray.stripe.container import decode_stripe
+
+    rng = np.random.default_rng(4)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    def mk_batch(n):
+        texts = [" ".join(rng.choice(words, 40)) + f" tail{i}" for i in range(n)]
+        return pa.table({
+            "doc_id": pa.array([f"d{i}" for i in range(n)]),
+            "body": pa.array(texts),
+            "source": pa.array(["s1"] * n),
+        })
+
+    enc = StripeEncoder(out_dir=str(tmp_path), config=EncodeConfig(),
+                        adaptive_fsst_by="source")
+    b1, b2 = mk_batch(300), mk_batch(300)
+    enc(b1)
+    cached = enc._fsst_cache.get("s1")
+    if cached:  # fsst won the selector competition → table must be reused
+        t1 = dict(cached)
+        enc(b2)
+        assert enc._fsst_cache["s1"] is cached
+        for col, tbl in t1.items():
+            assert cached[col] is tbl
+
+    # both stripes decode standalone
+    import glob
+    for p in glob.glob(str(tmp_path / "*.oray")):
+        t = decode_stripe(open(p, "rb").read())
+        assert t.num_rows == 300

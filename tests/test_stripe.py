@@ -187,3 +187,18 @@ def test_decimal_column_varint():
     dec = decode_stripe(enc)
     assert dec.equals(t)
     assert any(s["codec"] == "varint" for s in footer["streams"])
+
+
+def test_zstd_compression_roundtrip_and_size():
+    rng = np.random.default_rng(2)
+    toks = [rng.integers(0, 50257, L).astype(np.int32) for L in rng.integers(50, 300, 400)]
+    offs = np.concatenate([[0], np.cumsum([len(x) for x in toks])]).astype(np.int32)
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(400)]),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(np.concatenate(toks), type=pa.int32())),
+    })
+    z_enc, _ = encode_stripe(t, EncodeConfig(compression="zlib"))
+    s_enc, _ = encode_stripe(t, EncodeConfig(compression="zstd"))
+    assert decode_stripe(s_enc).equals(t)
+    assert len(s_enc) <= len(z_enc) * 1.01  # zstd-3 at-least-matches zlib-1
