@@ -145,6 +145,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "windowed_agg_events": lambda sf_dir: stats.windowed_agg(
             _read(sf_dir, "events", columns=["ts", "event_type", "value"])),
+        "distinct_count": lambda sf_dir: stats.distinct_count(
+            _read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey"),
+        "distinct_count_hll": lambda sf_dir: stats.distinct_count_hll(
+            _read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey"),
+        "top_k_event_types": lambda sf_dir: stats.top_k(
+            _read(sf_dir, "events", columns=["event_type"]), "event_type", k=5),
         # --- text analysis ---
         "token_count": lambda sf_dir: text.token_count(_read(sf_dir, "documents")),
         "token_count_regex": lambda sf_dir: text.token_count_regex(
@@ -243,6 +249,13 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_millis,"
             " count(*) AS n_events"
             " FROM events GROUP BY 1, 2"
+        ),
+        "distinct_count": (
+            "SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem"
+        ),
+        "top_k_event_types": (
+            "SELECT event_type, count(*) AS cnt FROM events"
+            " GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 5"
         ),
         "dedup_ngram_jaccard": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),"

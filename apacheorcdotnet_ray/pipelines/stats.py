@@ -81,6 +81,87 @@ def windowed_agg(ds: rd.Dataset, ts_col: str = "ts", key: str = "event_type",
     )
 
 
+def distinct_count(ds: rd.Dataset, col: str) -> pa.Table:
+    """Exact distinct count, generalizing the reference's distinct-ratio
+    sample (StringWriter.cs:89-92, A4) to a full-dataset operator: per-batch
+    unique first (the shuffle ships unique values only), then per-partition
+    unique counts, then a tiny driver sum."""
+    import pyarrow.compute as pc
+
+    def batch_unique(batch: pa.Table) -> pa.Table:
+        return pa.table({col: batch.column(col).unique()})
+
+    def part_count(df):
+        import pandas as pd
+
+        return pd.DataFrame({"n": [df[col].nunique()]})
+
+    from .dedup import _grouped_map
+
+    uniq = ds.map_batches(batch_unique, batch_format="pyarrow")
+    parts = _grouped_map(uniq, [col], part_count).take_all()
+    return pa.table({"n_distinct": pa.array([sum(r["n"] for r in parts)], type=pa.int64())})
+
+
+_HLL_P = 14  # 2^14 registers → ~0.8% standard error
+
+
+def distinct_count_hll(ds: rd.Dataset, col: str, p: int = _HLL_P) -> pa.Table:
+    """Approximate distinct count: HyperLogLog partials per batch (vectorized
+    register update via np.maximum.at), merged associatively on the driver —
+    the no-shuffle scale path (a sketch crosses the wire, never values)."""
+    import numpy as np
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(batch.select([col])).hash_rows(seed=3).to_numpy().astype(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel stops clz
+        # rank = leading zeros of remaining bits + 1, via float exponent trick
+        rank = np.zeros(len(h), dtype=np.uint8)
+        nz = rest != 0
+        bits = 64 - np.frexp(rest[nz].astype(np.float64))[1]
+        rank[nz] = np.minimum(bits + 1, 64 - p + 1).astype(np.uint8)
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, idx, rank)
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+    regs = np.zeros(m, dtype=np.uint8)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        regs = np.maximum(regs, np.frombuffer(row["regs"], dtype=np.uint8))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** -regs.astype(np.float64))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return pa.table({"n_distinct_approx": pa.array([int(round(est))], type=pa.int64())})
+
+
+def top_k(ds: rd.Dataset, col: str, k: int = 10) -> pa.Table:
+    """Exact heavy hitters: per-batch pre-aggregated counts → grouped sum over
+    (value, partial) rows → tiny driver-side top-k. Ties break by value."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(col).aggregate([([], "count_all")])
+        return g.rename_columns([col, "p_cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+    ).take_all()
+    counts.sort(key=lambda r: (-r["cnt"], r[col]))
+    top = counts[:k]
+    return pa.table({
+        col: pa.array([r[col] for r in top]),
+        "cnt": pa.array([r["cnt"] for r in top], type=pa.int64()),
+    })
+
+
 def group_stats_by(ds: rd.Dataset, key: str, sum_col: str) -> rd.Dataset:
     """Grouped count+sum with pre-aggregation: one partial row per (batch, key)
     before the shuffle, so the groupby moves partials, not rows."""

@@ -186,3 +186,35 @@ def test_stripe_encoder_adaptive_fsst_cache(tmp_path):
     for p in glob.glob(str(tmp_path / "*.oray")):
         t = decode_stripe(open(p, "rb").read())
         assert t.num_rows == 300
+
+
+def test_distinct_count_and_hll(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, 5000, 60_000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(8)
+    exact = stats.distinct_count(ds, "x")["n_distinct"][0].as_py()
+    assert exact == len(np.unique(vals))
+    approx = stats.distinct_count_hll(ds, "x")["n_distinct_approx"][0].as_py()
+    assert abs(approx - exact) / exact < 0.03
+
+
+def test_top_k(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    rng = np.random.default_rng(13)
+    vals = rng.choice(["a", "b", "c", "d", "e"], 10_000, p=[0.4, 0.3, 0.15, 0.1, 0.05])
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals.tolist())})).repartition(4)
+    top = stats.top_k(ds, "x", k=3).to_pydict()
+    import collections
+    expect = collections.Counter(vals.tolist()).most_common(3)
+    assert list(zip(top["x"], top["cnt"])) == expect
