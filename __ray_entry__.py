@@ -51,6 +51,19 @@ def _roundtrip(sf_dir: str, table: str):
     return decode_dataset(out)
 
 
+def _predicate_scan(sf_dir: str):
+    """Stat-pruned decode: stripes whose footer min/max exclude the predicate
+    are never read (the ORC ROW_INDEX analog)."""
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus
+
+    out = _out_dir(sf_dir, "rt-lineitem-pred")
+    encode_corpus([_table_path(sf_dir, "lineitem")], out)
+    return decode_dataset(
+        out, columns=["l_orderkey", "l_partkey", "l_quantity"],
+        predicate=("l_orderkey", "<=", 5000),
+    )
+
+
 def _tokenize_roundtrip(sf_dir: str):
     from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
     from apacheorcdotnet_ray.pipelines.text import tokenize_documents
@@ -132,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_events": roundtrip("events"),
         "roundtrip_documents": roundtrip("documents"),
         "roundtrip_embeddings": roundtrip("embeddings"),
+        "predicate_scan": _predicate_scan,
         "tokenize_roundtrip": _tokenize_roundtrip,
         "grouped_encode_roundtrip": _grouped_roundtrip,
         # --- statistics (partial+final aggregation tree) ---
@@ -207,6 +221,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_embeddings": "SELECT * FROM embeddings",
+        "predicate_scan": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+            " WHERE l_orderkey <= 5000"
+        ),
         "tokenize_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
             " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, source"

@@ -52,10 +52,12 @@ def encode_dataset(
     return ds.map_batches(StripeEncoder, **kwargs)
 
 
-def decode_dataset(stripe_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+def decode_dataset(
+    stripe_dir: str, columns: list[str] | None = None, predicate: tuple | None = None
+) -> rd.Dataset:
     from ..sources.stripes import read_stripes
 
-    return read_stripes(stripe_dir, columns)
+    return read_stripes(stripe_dir, columns, predicate)
 
 
 # ---------------------------------------------------------------------------

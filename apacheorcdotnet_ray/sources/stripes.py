@@ -4,30 +4,117 @@ One stripe = one independent unit of decode (the reference's stripes are
 self-describing for the same reason, Stripes/StripeReader.cs:38-61), so
 ``read_binary_files`` + a stateless decode ``map_batches`` parallelizes
 embarrassingly: each file decodes in its own task, streaming with backpressure.
+
+Predicate pushdown (the reference's ROW_INDEX/seek-statistics analog,
+ColumnTypes/ColumnWriterStatistics.cs:12-33): stripe footers carry per-column
+min/max stats, so whole stripe files whose stat range cannot satisfy the
+predicate are pruned driver-side by a cheap tail read — only surviving
+stripes are scheduled, then the exact filter applies per decoded batch.
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import os
+import struct
+import zlib
 
 import ray.data as rd
 
 from ..stages.decode import StripeDecoder
+
+# predicate: (column, op, literal) with op in <, <=, >, >=, ==, !=
+_OPS = {"<", "<=", ">", ">=", "==", "!="}
 
 
 def stripe_paths(stripe_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(stripe_dir, "*.oray")))
 
 
-def read_stripes(stripe_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_stripe_footer(path: str) -> dict:
+    """Tail-only footer read (FileTail.cs:22-54): seek to the end, read the
+    footer length + compressed footer — never the data segments."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 8)
+        tail = f.read(8)
+        if tail[4:] != b"ORAY":
+            raise ValueError(f"not an ORAY1 stripe file: {path}")
+        (footer_len,) = struct.unpack("<I", tail[:4])
+        f.seek(size - 8 - footer_len)
+        return json.loads(zlib.decompress(f.read(footer_len)))
+
+
+def _maybe_satisfies(stats: dict, op: str, lit) -> bool:
+    """Can any value in [min, max] satisfy `value <op> lit`? Missing stats →
+    conservatively True."""
+    lo, hi = stats.get("min"), stats.get("max")
+    if lo is None or hi is None:
+        return True
+    if op == "<":
+        return lo < lit
+    if op == "<=":
+        return lo <= lit
+    if op == ">":
+        return hi > lit
+    if op == ">=":
+        return hi >= lit
+    if op == "==":
+        return lo <= lit <= hi
+    return not (lo == hi == lit)  # !=
+
+
+def prune_stripes(paths: list[str], predicate: tuple) -> list[str]:
+    col, op, lit = predicate
+    keep = []
+    for p in paths:
+        footer = read_stripe_footer(p)
+        stats = next((c["stats"] for c in footer["columns"] if c["name"] == col), {})
+        if _maybe_satisfies(stats, op, lit):
+            keep.append(p)
+    return keep
+
+
+def read_stripes(
+    stripe_dir: str,
+    columns: list[str] | None = None,
+    predicate: tuple | None = None,
+) -> rd.Dataset:
+    """predicate: optional (column, op, literal); stripes whose footer stats
+    exclude it are never read, and surviving batches are filtered exactly."""
     paths = stripe_paths(stripe_dir)
     if not paths:
         raise FileNotFoundError(f"no .oray stripes under {stripe_dir}")
+    if predicate is not None:
+        if predicate[1] not in _OPS:
+            raise ValueError(f"unsupported predicate op {predicate[1]}")
+        paths = prune_stripes(paths, predicate)
+        if not paths:
+            import pyarrow as pa
+
+            return rd.from_arrow(pa.table({}))
+    read_cols = columns
+    if predicate is not None and columns is not None and predicate[0] not in columns:
+        read_cols = list(columns) + [predicate[0]]
     ds = rd.read_binary_files(paths)
-    decoder = StripeDecoder(columns=columns)  # stateless → plain-function task pool
-    return ds.map_batches(
+    decoder = StripeDecoder(columns=read_cols)  # stateless → plain-function task pool
+    ds = ds.map_batches(
         decoder.__call__,
         batch_format="pyarrow",
         batch_size=None,  # one input file is already a full stripe
     )
+    if predicate is not None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        col, op, lit = predicate
+        fns = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+               ">=": pc.greater_equal, "==": pc.equal, "!=": pc.not_equal}
+
+        def exact_filter(batch: pa.Table) -> pa.Table:
+            out = batch.filter(fns[op](batch.column(col), pa.scalar(lit)))
+            return out.select(columns) if columns is not None else out
+
+        ds = ds.map_batches(exact_filter, batch_format="pyarrow")
+    return ds

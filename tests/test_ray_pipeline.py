@@ -218,3 +218,31 @@ def test_top_k(ray_session):
     import collections
     expect = collections.Counter(vals.tolist()).most_common(3)
     assert list(zip(top["x"], top["cnt"])) == expect
+
+
+def test_predicate_pushdown_prunes_stripes(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
+    from apacheorcdotnet_ray.sources.stripes import prune_stripes, stripe_paths
+
+    # four stripes with disjoint key ranges (batch_size bounds each stripe)
+    t = pa.table({
+        "k": pa.array(np.arange(4000, dtype=np.int64)),
+        "v": pa.array(np.arange(4000, dtype=np.float64) * 0.5),
+    })
+    out = str(tmp_path / "stripes")
+    encode_dataset(rd.from_arrow(t), out, batch_size=1000, concurrency=1).materialize()
+    paths = stripe_paths(out)
+    assert len(paths) >= 4
+
+    kept = prune_stripes(paths, ("k", "<", 500))
+    assert len(kept) < len(paths), "footer stats must prune whole stripes"
+
+    got = decode_dataset(out, columns=["k"], predicate=("k", "<", 500)).to_pandas()
+    assert sorted(got["k"].tolist()) == list(range(500))
+    # predicate column not in projection still works
+    got2 = decode_dataset(out, columns=["v"], predicate=("k", ">=", 3500)).to_pandas()
+    assert len(got2) == 500 and list(got2.columns) == ["v"]
