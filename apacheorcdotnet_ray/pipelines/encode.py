@@ -127,6 +127,80 @@ def encode_grouped(
 
 
 # ---------------------------------------------------------------------------
+# stripe compaction
+
+
+def compact_stripes(
+    stripe_dir: str,
+    out_dir: str,
+    config: EncodeConfig | None = None,
+    target_values: int | None = None,
+) -> dict:
+    """Merge undersized stripes into target-sized ones (the cleanup pass a
+    grouped encode of many small sources needs). Driver plans bins from
+    tail-only footer reads (never data); one task per bin decodes its members
+    and re-encodes one merged stripe. Stripes already at/above target copy
+    through untouched (no re-encode cost)."""
+    from ..sources.stripes import read_stripe_footer, stripe_paths
+    from ..stages.decode import StripeDecoder
+
+    config = config or EncodeConfig()
+    budget = target_values or config.target_stripe_values
+    os.makedirs(out_dir, exist_ok=True)
+
+    small_bins: list[list[str]] = []
+    passthrough: list[str] = []
+    cur: list[str] = []
+    cur_vals = 0
+    for p in stripe_paths(stripe_dir):
+        footer = read_stripe_footer(p)
+        nvals = sum(s["n"] for s in footer["streams"] if s["kind"] == "DATA")
+        if nvals >= budget:
+            passthrough.append(p)
+            continue
+        if cur and cur_vals + nvals > budget:
+            small_bins.append(cur)
+            cur, cur_vals = [], 0
+        cur.append(p)
+        cur_vals += nvals
+    if cur:
+        small_bins.append(cur)
+
+    import shutil
+
+    for p in passthrough:
+        dst = os.path.join(out_dir, os.path.basename(p))
+        if not os.path.exists(dst):
+            shutil.copy(p, dst)
+
+    merged = 0
+    if small_bins:
+        enc = StripeEncoder(out_dir=out_dir, config=config)
+        dec = StripeDecoder()
+
+        def compact_bin(batch: pa.Table) -> pa.Table:
+            tables = []
+            for paths_json in batch.column("paths").to_pylist():
+                blobs = pa.table({"path": pa.array(json.loads(paths_json))})
+                tables.append(enc(dec(blobs)))
+            return pa.concat_tables(tables)
+
+        bins_ds = rd.from_items(
+            [{"paths": json.dumps(b)} for b in small_bins],
+            override_num_blocks=len(small_bins),
+        )
+        merged = bins_ds.map_batches(
+            compact_bin, batch_format="pyarrow", batch_size=1
+        ).count()
+    return {
+        "input_stripes": len(passthrough) + sum(len(b) for b in small_bins),
+        "passthrough": len(passthrough),
+        "merged_bins": len(small_bins),
+        "output_stripes": len(passthrough) + merged,
+    }
+
+
+# ---------------------------------------------------------------------------
 # resumable partition-mapped job
 
 

@@ -246,3 +246,32 @@ def test_predicate_pushdown_prunes_stripes(ray_session, tmp_path):
     # predicate column not in projection still works
     got2 = decode_dataset(out, columns=["v"], predicate=("k", ">=", 3500)).to_pandas()
     assert len(got2) == 500 and list(got2.columns) == ["v"]
+
+
+def test_compact_stripes(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.encode import (
+        compact_stripes, decode_dataset, encode_dataset)
+    from apacheorcdotnet_ray.pipelines.verify import verify_roundtrip
+    from apacheorcdotnet_ray.sources.stripes import stripe_paths
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(2000)]),
+        "k": pa.array(np.arange(2000, dtype=np.int64)),
+    })
+    small = str(tmp_path / "small")
+    encode_dataset(rd.from_arrow(t), small, batch_size=100, concurrency=1).materialize()
+    n_small = len(stripe_paths(small))
+    assert n_small >= 20
+
+    out = str(tmp_path / "compacted")
+    summary = compact_stripes(small, out, target_values=4000)
+    n_out = len(stripe_paths(out))
+    assert n_out < n_small / 2
+    assert summary["output_stripes"] == n_out
+
+    res = verify_roundtrip(rd.from_arrow(t), decode_dataset(out))
+    assert res["content_match"], res
