@@ -39,6 +39,13 @@ class SymbolTable:
         for lst in self.index.values():
             lst.sort(key=lambda t: -len(t[0]))
         self.lengths = np.array([len(s) for s in symbols] + [1], dtype=np.int64)
+        # decode tables: per-code byte length and a flat (256*8) byte matrix
+        self.sym_lens = np.zeros(256, dtype=np.int64)
+        symmat = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
+        for code, s in enumerate(symbols):
+            self.sym_lens[code] = len(s)
+            symmat[code, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        self.symflat = symmat.ravel()
 
     def serialize(self) -> bytes:
         out = bytearray([len(self.symbols)])
@@ -96,8 +103,9 @@ def _match(table: SymbolTable, data: bytes, pos: int) -> bytes:
     return data[pos : pos + 1]
 
 
-def compress(data: bytes, table: SymbolTable) -> bytes:
-    """Greedy longest-match encode. Codes 0-254 = symbols, 255 = escape+literal."""
+def compress_scalar(data: bytes, table: SymbolTable) -> bytes:
+    """Reference greedy longest-match encode (kept for training's _match and
+    as the semantics oracle in tests). Codes 0-254 = symbols, 255 = escape."""
     out = bytearray()
     pos = 0
     n = len(data)
@@ -121,20 +129,161 @@ def compress(data: bytes, table: SymbolTable) -> bytes:
     return bytes(out)
 
 
-def decompress(codes: bytes, table: SymbolTable) -> bytes:
-    out = bytearray()
-    symbols = table.symbols
-    i = 0
-    n = len(codes)
-    while i < n:
-        c = codes[i]
-        if c == ESCAPE:
-            out.append(codes[i + 1])
-            i += 2
+_BLOCK = 1024
+
+
+def _match_tables(table: SymbolTable):
+    """Per-length match structures for the vectorized encoder: length-1
+    symbols get a 256-entry direct map; longer lengths a sorted pattern
+    array searched with np.searchsorted (exact — matches the scalar
+    longest-first greedy)."""
+    by_len: dict[int, list[tuple[int, bytes]]] = {}
+    for code, s in enumerate(table.symbols):
+        by_len.setdefault(len(s), []).append((code, s))
+    out = []
+    for L in sorted(by_len, reverse=True):
+        if L == 1:
+            m = np.full(256, ESCAPE, dtype=np.uint8)
+            for code, s in by_len[L]:
+                m[s[0]] = code
+            out.append((1, m, None))
         else:
-            out.extend(symbols[c])
-            i += 1
-    return bytes(out)
+            pats = np.array(
+                [int.from_bytes(s.ljust(8, b"\0"), "big") >> ((8 - L) * 8)
+                 for _, s in by_len[L]], dtype=np.uint64)
+            codes = np.array([c for c, _ in by_len[L]], dtype=np.uint8)
+            order = np.argsort(pats)
+            first_ok = np.zeros(256, dtype=bool)
+            for _, s in by_len[L]:
+                first_ok[s[0]] = True
+            out.append((L, pats[order], codes[order], first_ok))
+    return out
+
+
+def compress(data: bytes, table: SymbolTable) -> bytes:
+    """Vectorized greedy longest-match encode.
+
+    Phase 1 computes the best match (length, code) at EVERY position with a
+    few vector ops per distinct symbol length (2-byte-prefix map + pattern
+    verify on big-endian 8-byte windows). Phase 2 resolves the sequential
+    greedy walk for all 1 KiB blocks in lockstep — one vector step per
+    emitted token position, width = number of blocks. Tokens never cross
+    block boundaries (a clamped match falls back to escape), so blocks parse
+    independently; output differs from the strict sequential parse only at
+    those boundaries and decodes identically either way."""
+    n = len(data)
+    if n == 0:
+        return b""
+    if not table.symbols or n < 16:
+        return compress_scalar(data, table)
+    b = np.frombuffer(data, dtype=np.uint8)
+    padded = np.concatenate([b, np.zeros(8, dtype=np.uint8)])
+    tables = _match_tables(table)
+
+    starts = np.arange(0, n, _BLOCK, dtype=np.int64)
+    ends = np.minimum(starts + _BLOCK, n)
+    nb = len(starts)
+    out = np.zeros((nb, 2 * _BLOCK + 8), dtype=np.uint8)
+    out_len = np.zeros(nb, dtype=np.int64)
+    P = starts.copy()
+    rows = np.arange(nb)
+    u8s = [np.uint64((8 - L) * 8) for L in range(9)]
+    while True:
+        a = P < ends
+        if not a.any():
+            break
+        p = P[a]
+        r = rows[a]
+        e = ends[a]
+        fb = b[p]
+        # best match at each active position, lazily: only visited positions
+        # pay matching cost (the greedy parse skips ~60% of positions)
+        w = np.zeros(len(p), dtype=np.uint64)
+        for j in range(8):
+            w = (w << np.uint64(8)) | padded[p + j]
+        l = np.zeros(len(p), dtype=np.int64)
+        c = np.full(len(p), ESCAPE, dtype=np.uint8)
+        for entry in tables:
+            L, tbl = entry[0], entry[1]
+            un = l == 0
+            if L == 1:
+                m = tbl[fb]
+                sel = un & (m != ESCAPE)
+                l[sel] = 1
+                c[sel] = m[sel]
+                continue
+            codes, first_ok = entry[2], entry[3]
+            un &= first_ok[fb]
+            if not un.any():
+                continue
+            masked = w[un] >> u8s[L]
+            pos = np.searchsorted(tbl, masked)
+            pos_c = np.minimum(pos, len(tbl) - 1)
+            hit = tbl[pos_c] == masked
+            ui = np.nonzero(un)[0][hit]
+            l[ui] = L
+            c[ui] = codes[pos_c[hit]]
+        # emit: clamp matches crossing the block end (or data end) to escape
+        esc = (c == ESCAPE) | (p + l > e)
+        l = np.where(esc, 1, l)
+        ob = out_len[a]
+        out[r, ob] = np.where(esc, ESCAPE, c)
+        out[r[esc], ob[esc] + 1] = fb[esc]
+        out_len[a] = ob + np.where(esc, 2, 1)
+        P[a] = p + l
+    return b"".join(out[i, : out_len[i]].tobytes() for i in range(nb))
+
+
+def decompress(codes: bytes, table: SymbolTable) -> bytes:
+    """Vectorized decode. Token parsing looks sequential (an ESCAPE consumes
+    the next byte as a literal) but is fully data-parallel: every non-255
+    byte terminates a token, so each maximal run of 255-bytes starts at a
+    token boundary and its escape/literal split follows from run parity —
+    (255,255) pairs inside the run, plus, for odd runs, a final escape
+    taking the byte after the run as its literal."""
+    b = np.frombuffer(codes, dtype=np.uint8)
+    n = len(b)
+    if n == 0:
+        return b""
+    if not table.symbols:  # all escapes: strip every other byte
+        return b[1::2].tobytes()
+
+    is_esc_byte = b == ESCAPE
+    # literal positions (consumed by an escape) — computed from 255-run parity
+    literal = np.zeros(n + 1, dtype=bool)  # +1 slot: odd run at very end (invalid input guard)
+    if is_esc_byte.any():
+        d = np.diff(is_esc_byte.astype(np.int8))
+        run_starts = np.nonzero(d == 1)[0] + 1
+        if is_esc_byte[0]:
+            run_starts = np.concatenate([[0], run_starts])
+        run_ends = np.nonzero(d == -1)[0] + 1  # exclusive
+        if is_esc_byte[-1]:
+            run_ends = np.concatenate([run_ends, [n]])
+        run_lens = run_ends - run_starts
+        # within each run: positions start+1, start+3, ... are literals
+        # (odd runs also consume the byte AFTER the run); ragged aranges
+        # built with the repeat/cumsum pattern
+        lit_counts = (run_lens + 1) // 2
+        base = np.repeat(run_starts, lit_counts)
+        prefix = np.concatenate([[0], np.cumsum(lit_counts[:-1])])
+        j = np.arange(int(lit_counts.sum())) - np.repeat(prefix, lit_counts)
+        literal[base + 1 + 2 * j] = True
+    literal = literal[:n]
+
+    is_code = ~literal
+    token_codes = b[is_code]
+    esc_tok = token_codes == ESCAPE
+    out_lens = np.where(esc_tok, 1, table.sym_lens[token_codes])
+    offs = np.concatenate([[0], np.cumsum(out_lens)])
+    # one repeat+gather emits every output byte: out byte i of token t is
+    # symflat[code[t]*8 + (i - offs[t])] → index = i + (code[t]*8 - offs[t])
+    adj = token_codes.astype(np.int64) * MAX_SYMBOL_LEN - offs[:-1]
+    idx = np.arange(int(offs[-1])) + np.repeat(adj, out_lens)
+    out = table.symflat[idx]
+    # escape literals overwrite their placeholder byte
+    esc_pos = np.nonzero(is_code)[0][esc_tok]
+    out[offs[:-1][esc_tok]] = b[np.minimum(esc_pos + 1, n - 1)]
+    return out.tobytes()
 
 
 # ---------------------------------------------------------------------------
