@@ -67,29 +67,72 @@ class SymbolTable:
         return cls(symbols), pos
 
 
+def _token_stream(codes: bytes, table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
+    """(extended codes, byte length per token) for a compressed stream.
+    Extended code = symbol code, or 256+literal for escape tokens. Parsing
+    uses the same 255-run-parity trick as decompress."""
+    b = np.frombuffer(codes, dtype=np.uint8)
+    n = len(b)
+    literal = np.zeros(n + 1, dtype=bool)
+    is_esc_byte = b == ESCAPE
+    if is_esc_byte.any():
+        d = np.diff(is_esc_byte.astype(np.int8))
+        run_starts = np.nonzero(d == 1)[0] + 1
+        if is_esc_byte[0]:
+            run_starts = np.concatenate([[0], run_starts])
+        run_ends = np.nonzero(d == -1)[0] + 1
+        if is_esc_byte[-1]:
+            run_ends = np.concatenate([run_ends, [n]])
+        run_lens = run_ends - run_starts
+        lit_counts = (run_lens + 1) // 2
+        base = np.repeat(run_starts, lit_counts)
+        prefix = np.concatenate([[0], np.cumsum(lit_counts[:-1])])
+        j = np.arange(int(lit_counts.sum())) - np.repeat(prefix, lit_counts)
+        literal[base + 1 + 2 * j] = True
+    literal = literal[:n]
+    is_code = ~literal
+    token_codes = b[is_code].astype(np.int64)
+    esc = token_codes == ESCAPE
+    esc_pos = np.nonzero(is_code)[0][esc]
+    ext = token_codes.copy()
+    ext[esc] = 256 + b[np.minimum(esc_pos + 1, n - 1)]
+    lens = np.where(esc, 1, table.sym_lens[np.minimum(token_codes, 255)])
+    return ext, lens
+
+
 def train(sample: bytes, iterations: int = 3) -> SymbolTable:
-    """Iterative greedy symbol-table construction on a bounded sample.
+    """Iterative greedy symbol-table construction on a bounded sample
+    (gain = frequency x length over current-parse tokens and adjacent-token
+    concatenations, per the FSST paper's scheme). Counting is vectorized:
+    the sample is compressed with the current table, the token stream is
+    recovered, and singles/pairs count via bincount over extended codes.
 
     16 KiB / 3 iterations measures within 0.1% of the post-zlib ratio of
     64 KiB / 5 iterations on the documents corpus at ~10x less train cost."""
     sample = sample[: 1 << 14]
+    if not sample:
+        return SymbolTable([])
     table = SymbolTable([])
-    for _ in range(iterations):
+    for it in range(iterations):
+        if not table.symbols:
+            ext = np.frombuffer(sample, dtype=np.uint8).astype(np.int64) + 256
+            lens = np.ones(len(ext), dtype=np.int64)
+        else:
+            ext, lens = _token_stream(compress(sample, table), table)
+
+        def ext_bytes(code: int) -> bytes:
+            return table.symbols[code] if code < 256 else bytes([code - 256])
+
         counts: Counter[bytes] = Counter()
-        pos = 0
-        prev_sym: bytes | None = None
-        n = len(sample)
-        while pos < n:
-            sym = _match(table, sample, pos)
-            counts[sym] += 1
-            if prev_sym is not None and len(prev_sym) + len(sym) <= MAX_SYMBOL_LEN:
-                counts[prev_sym + sym] += 1
-            prev_sym = sym
-            pos += len(sym)
-        # gain = freq * len, but length-1 symbols only pay off vs escapes when
-        # the byte value collides with nothing; approximate per the paper:
-        candidates = sorted(
-            counts.items(), key=lambda kv: -(kv[1] * len(kv[0])))
+        singles = np.bincount(ext, minlength=512)
+        for code in np.nonzero(singles)[0].tolist():
+            counts[ext_bytes(code)] += int(singles[code])
+        ok = (lens[:-1] + lens[1:]) <= MAX_SYMBOL_LEN
+        pair_ids = ext[:-1][ok] * 512 + ext[1:][ok]
+        pcnt = np.bincount(pair_ids) if len(pair_ids) else np.zeros(0, np.int64)
+        for pid in np.nonzero(pcnt)[0].tolist():
+            counts[ext_bytes(pid // 512) + ext_bytes(pid % 512)] += int(pcnt[pid])
+        candidates = sorted(counts.items(), key=lambda kv: -(kv[1] * len(kv[0])))
         table = SymbolTable([s for s, _ in candidates[:MAX_SYMBOLS]])
     return table
 
@@ -180,10 +223,13 @@ def compress(data: bytes, table: SymbolTable) -> bytes:
     padded = np.concatenate([b, np.zeros(8, dtype=np.uint8)])
     tables = _match_tables(table)
 
-    starts = np.arange(0, n, _BLOCK, dtype=np.int64)
-    ends = np.minimum(starts + _BLOCK, n)
+    # keep the lockstep front >=64 blocks wide: iterations scale with block
+    # size, so small inputs use small blocks
+    block = int(min(_BLOCK, max(64, -(-n // 64))))
+    starts = np.arange(0, n, block, dtype=np.int64)
+    ends = np.minimum(starts + block, n)
     nb = len(starts)
-    out = np.zeros((nb, 2 * _BLOCK + 8), dtype=np.uint8)
+    out = np.zeros((nb, 2 * block + 8), dtype=np.uint8)
     out_len = np.zeros(nb, dtype=np.int64)
     P = starts.copy()
     rows = np.arange(nb)
