@@ -51,6 +51,27 @@ def _roundtrip(sf_dir: str, table: str):
     return decode_dataset(out)
 
 
+def _broadcast_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from apacheorcdotnet_ray.pipelines.joins import broadcast_hash_join
+
+    small = pq.read_table(_table_path(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    return broadcast_hash_join(ds, small, "l_partkey", "p_partkey")
+
+
+def _asof_join(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.joins import asof_join
+
+    return asof_join(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]),
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]),
+        left_id="event_id", left_key="user_id", left_on="ts",
+        right_key="o_custkey", right_on="o_orderdate", right_value="o_totalprice",
+    )
+
+
 def _predicate_scan(sf_dir: str):
     """Stat-pruned decode: stripes whose footer min/max exclude the predicate
     are never read (the ORC ROW_INDEX analog)."""
@@ -165,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey"),
         "top_k_event_types": lambda sf_dir: stats.top_k(
             _read(sf_dir, "events", columns=["event_type"]), "event_type", k=5),
+        # --- joins ---
+        "broadcast_join": _broadcast_join,
+        "asof_join": _asof_join,
         # --- text analysis ---
         "token_count": lambda sf_dir: text.token_count(_read(sf_dir, "documents")),
         "token_count_regex": lambda sf_dir: text.token_count_regex(
@@ -274,6 +298,16 @@ def oracle_sql() -> dict[str, str]:
         "top_k_event_types": (
             "SELECT event_type, count(*) AS cnt FROM events"
             " GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 5"
+        ),
+        "broadcast_join": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name"
+            " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+        ),
+        "asof_join": (
+            "WITH r AS (SELECT o_custkey AS k, o_orderdate AS t,"
+            "   max(o_totalprice) AS val FROM orders GROUP BY 1, 2)"
+            " SELECT e.event_id, e.ts, r.val AS o_totalprice"
+            " FROM events e ASOF LEFT JOIN r ON e.user_id = r.k AND e.ts >= r.t"
         ),
         "dedup_ngram_jaccard": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),"

@@ -1,0 +1,122 @@
+"""Join operators built scale-first.
+
+Ray Data has no native broadcast or as-of join; these are the two shapes a
+training-data pipeline actually needs:
+
+- ``broadcast_hash_join``: small side in the object store ONCE (`ray.put`),
+  every batch joins locally via Arrow's hash join — zero shuffle of the
+  large side.
+- ``asof_join``: both sides co-partitioned by key via bounded hash
+  partitions (see dedup._grouped_map), then one vectorized
+  ``pandas.merge_asof`` per partition — the composition pattern
+  (map_batches + groupby + per-group sorted merge) for operators the
+  Dataset API lacks. Partitioning assumption: all rows of one key fit in
+  one partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def broadcast_hash_join(
+    ds: rd.Dataset,
+    small: pa.Table,
+    left_key: str,
+    right_key: str,
+    join_type: str = "inner",
+) -> rd.Dataset:
+    """Per-batch Arrow hash join against a broadcast small side."""
+    import ray
+
+    ref = ray.put(small)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        return batch.join(s, keys=[left_key], right_keys=[right_key],
+                          join_type=join_type)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_id: str,
+    left_key: str,
+    left_on: str,
+    right_key: str,
+    right_on: str,
+    right_value: str,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """For each left row, the right row with the greatest ``right_on`` <=
+    ``left_on`` within the same key (latest-before semantics). Output columns:
+    (left_id, left_on, matched right_value — null when no match). Both sides
+    normalize to one narrow schema (_id, _jk, _t, _val, _side) so a single
+    bounded hash shuffle keyed on the join key co-locates them; each
+    partition resolves with one vectorized ``pandas.merge_asof``.
+
+    Partitioning assumption: all rows of one join key fit in one partition
+    (salt the key upstream if a single key exceeds worker memory)."""
+
+    def norm(side: str, id_col, key_col, on_col, val_col):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "_id": batch.column(id_col).cast(pa.int64()) if id_col
+                else pa.nulls(n, pa.int64()),
+                "_jk": batch.column(key_col).cast(pa.int64()),
+                "_t": batch.column(on_col).cast(pa.timestamp("us"))
+                if pa.types.is_temporal(batch.schema.field(on_col).type)
+                else batch.column(on_col).cast(pa.int64()).cast(pa.timestamp("us")),
+                "_val": batch.column(val_col).cast(pa.float64()) if val_col
+                else pa.nulls(n, pa.float64()),
+                "_side": pa.array([side] * n),
+            })
+
+        return fn
+
+    l_norm = left.map_batches(norm("l", left_id, left_key, left_on, None),
+                              batch_format="pyarrow")
+    r_norm = right.map_batches(norm("r", None, right_key, right_on, right_value),
+                               batch_format="pyarrow")
+    both = l_norm.union(r_norm)
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        k = batch.column("_jk").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+                % np.uint64(num_partitions)
+        return batch.append_column("_pk", pa.array(pk.astype(np.int64)))
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == "l"][["_id", "_jk", "_t"]].sort_values("_t", kind="mergesort")
+        # deterministic tie-break: max value among right rows sharing (key, t)
+        r = (df[df["_side"] == "r"][["_jk", "_t", "_val"]]
+             .groupby(["_jk", "_t"], as_index=False)["_val"].max()
+             .sort_values("_t", kind="mergesort"))
+        if not len(l):
+            return pd.DataFrame({"_id": pd.Series(dtype="int64"),
+                                 "_t": pd.Series(dtype="datetime64[us]"),
+                                 "_val": pd.Series(dtype="float64")})
+        if not len(r):
+            out = l[["_id", "_t"]].copy()
+            out["_val"] = np.nan
+            return out
+        merged = pd.merge_asof(l, r, on="_t", by="_jk", direction="backward")
+        return merged[["_id", "_t", "_val"]]
+
+    out = (
+        both.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(merge_part, batch_format="pandas")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([left_id, left_on, right_value])
+
+    return out.map_batches(rename, batch_format="pyarrow")
