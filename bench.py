@@ -59,8 +59,14 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     corpus = build_corpus()
 
-    # warm the page cache so we measure compute+shuffle, not first disk read
+    # warm the page cache AND the worker pool (package import happens on the
+    # first task a worker runs) so we measure steady-state compute+shuffle,
+    # not first disk read / cold process start
     rd.read_parquet(corpus).count()
+    warm_dir = "/tmp/oray_bench_warmup"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    encode_corpus(corpus, warm_dir)
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     # --- headline: tokens encode ---
     out = "/tmp/oray_bench_stripes"
