@@ -51,6 +51,23 @@ def _roundtrip(sf_dir: str, table: str):
     return decode_dataset(out)
 
 
+def _ann_ivf_indexed(sf_dir: str):
+    """Materialized IVF: bucket-partitioned parquet index built once, search
+    reads only the probed partitions."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apacheorcdotnet_ray.pipelines import similarity
+
+    idx = _out_dir(sf_dir, "ivf-index")
+    if not os.path.exists(os.path.join(idx, "centroids.npy")):
+        similarity.ivf_build(_read(sf_dir, "embeddings"), idx)
+    t = pq.read_table(_table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    q = np.asarray(t["embedding"][int(np.argmin(ids))].as_py(), dtype=np.float64)
+    return similarity.ivf_search(idx, q[None, :], k=10)
+
+
 def _broadcast_join(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -210,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
+        "ann_ivf_indexed": _ann_ivf_indexed,
         # --- multimodal (stubbed codec, real actor-pool plumbing) ---
         "media_features": _media_features,
         "media_frame_sample": _media_frame_sample,

@@ -88,6 +88,52 @@ def train_centroids(emb_ds: rd.Dataset, n_centroids: int = 16, iters: int = 10,
     return cent
 
 
+def ivf_build(
+    emb_ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize an IVF index: vectors written as parquet PARTITIONED BY
+    their nearest-centroid bucket, centroids saved alongside. Search then
+    reads only the probed buckets — the 'prune at the read' layout that makes
+    ANN viable at corpus scale (a query touches n_probe/n_centroids of the
+    data). Returns the centroid matrix."""
+    import os
+
+    cent = train_centroids(emb_ds, n_centroids, emb_col=emb_col)
+    os.makedirs(index_dir, exist_ok=True)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref)
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        bucket = np.argmax(m @ cm.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket))
+
+    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_search(
+    index_dir: str, query_vecs: np.ndarray, k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> pa.Table:
+    """Search a materialized IVF index: only the n_probe nearest buckets'
+    parquet partitions are read at all (partition pruning at the source)."""
+    import glob
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    buckets = sorted({int(b) for row in probe for b in row})
+    paths = [p for b in buckets
+             for p in glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))]
+    ds = rd.read_parquet(paths, columns=[id_col, emb_col])
+    return brute_force_topk(ds, q, k, id_col=id_col, emb_col=emb_col)
+
+
 def ivf_topk(emb_ds: rd.Dataset, query_vecs: np.ndarray, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", emb_col: str = "embedding") -> pa.Table:

@@ -1,0 +1,46 @@
+"""Similarity search: brute-force exactness and the materialized IVF index
+(bucket-partitioned parquet, search touches only probed partitions)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from apacheorcdotnet_ray.pipelines import similarity
+
+
+def _emb_ds(n=2000, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    offs = (np.arange(n + 1) * d).astype(np.int32)
+    emb = pa.ListArray.from_arrays(pa.array(offs), pa.array(m.ravel(), type=pa.float32()))
+    return rd.from_arrow(pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                                   "embedding": emb})), m
+
+
+def test_brute_force_exact(ray_session):
+    ds, m = _emb_ds()
+    q = m[17].astype(np.float64)
+    res = similarity.brute_force_topk(ds, q[None, :], k=5).to_pydict()
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q)
+    expect = np.argsort(-(mm @ qq), kind="stable")[:5]
+    assert res["vec_id"][0] == 17  # exact self-match first
+    assert set(res["vec_id"]) == set(expect.tolist())
+
+
+def test_ivf_index_build_and_search(ray_session, tmp_path):
+    ds, m = _emb_ds()
+    idx = str(tmp_path / "ivf")
+    cent = similarity.ivf_build(ds, idx, n_centroids=8)
+    assert cent.shape[0] == 8
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    buckets = glob.glob(os.path.join(idx, "bucket=*"))
+    assert len(buckets) >= 4  # vectors spread across partitions
+
+    q = m[99].astype(np.float64)
+    res = similarity.ivf_search(idx, q[None, :], k=5, n_probe=3).to_pydict()
+    assert res["vec_id"][0] == 99  # query vector's own bucket always probed first
+    assert len(res["vec_id"]) == 5
