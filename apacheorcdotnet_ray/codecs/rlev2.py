@@ -89,7 +89,8 @@ def _encode_sr_stream(
     run (Writer.cs:52-59), so a maximal-run scan emits them all in one pass.
     Stops at the first run outside [3,10] (the caller's window logic resumes
     there) or at a lookahead-truncated run (next call re-examines it)."""
-    look = v[pos : pos + (1 << 16)]
+    look = v[pos : pos + (1 << 13)]  # bounded: re-scanned when SR and batch
+    # encoding interleave, so the lookahead cost must stay proportional
     change = np.nonzero(look[1:] != look[:-1])[0] + 1
     starts = np.concatenate([[0], change])
     lens = np.diff(np.concatenate([starts, [len(look)]]))
