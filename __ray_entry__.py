@@ -68,6 +68,15 @@ def _ann_ivf_indexed(sf_dir: str):
     return similarity.ivf_search(idx, q[None, :], k=10)
 
 
+def _quantile_median(sf_dir: str):
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    v = stats.quantile_exact(_read(sf_dir, "events", columns=["value"]), "value", 0.5)
+    return pa.table({"median": pa.array([v], type=pa.float64())})
+
+
 def _broadcast_join(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -203,6 +212,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey"),
         "top_k_event_types": lambda sf_dir: stats.top_k(
             _read(sf_dir, "events", columns=["event_type"]), "event_type", k=5),
+        "sessionize": lambda sf_dir: stats.sessionize(
+            _read(sf_dir, "events", columns=["user_id", "ts"])),
+        "quantile_median": _quantile_median,
+        "json_extract": lambda sf_dir: text.extract_json_field(
+            _read(sf_dir, "events", columns=["event_id", "props"]), "props", "k"),
         # --- joins ---
         "broadcast_join": _broadcast_join,
         "asof_join": _asof_join,
@@ -316,6 +330,19 @@ def oracle_sql() -> dict[str, str]:
         "top_k_event_types": (
             "SELECT event_type, count(*) AS cnt FROM events"
             " GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 5"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL"
+            "  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s"
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))"
+            " SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,"
+            " count(*) AS n_events FROM g GROUP BY user_id"
+        ),
+        "quantile_median": (
+            "SELECT quantile_disc(value, 0.5) AS median FROM events"
+        ),
+        "json_extract": (
+            "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events"
         ),
         "broadcast_join": (
             "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name"

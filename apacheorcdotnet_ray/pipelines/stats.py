@@ -162,6 +162,99 @@ def top_k(ds: rd.Dataset, col: str, k: int = 10) -> pa.Table:
     })
 
 
+def sessionize(
+    ds: rd.Dataset, user_col: str = "user_id", ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+) -> rd.Dataset:
+    """Gap-based sessionization: per user, a new session starts when the gap
+    to the previous event exceeds ``gap_minutes``. Returns per-user session
+    and event counts. Users are co-located via bounded hash partitions; the
+    per-partition reduction is one vectorized pandas sort+diff."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _grouped_map
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def count_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col], kind="mergesort")
+        new_user = df[user_col].ne(df[user_col].shift())
+        big_gap = df[ts_col].diff() > gap
+        df = df.assign(_new=(new_user | big_gap).astype(np.int64))
+        g = df.groupby(user_col, sort=False)
+        out = g["_new"].sum().rename("n_sessions").to_frame()
+        out["n_events"] = g.size()
+        return out.reset_index()
+
+    return _grouped_map(ds.select_columns([user_col, ts_col]), [user_col],
+                        count_sessions)
+
+
+def quantile_exact(ds: rd.Dataset, col: str, q: float, bins: int = 4096) -> float:
+    """Exact discrete quantile (the element at index floor(q*(n-1)) of the
+    sorted column) without a distributed sort: histogram passes narrow the
+    value range until the target bin is small enough to collect, then the
+    exact element is picked locally. Each pass moves only per-batch bin
+    counts (bins x 8 bytes), never data."""
+    import numpy as np
+
+    def hist_pass(lo: float, hi: float) -> np.ndarray:
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[(v >= lo) & (v <= hi)]
+            idx = np.minimum(((v - lo) / max(hi - lo, 1e-300) * bins).astype(np.int64),
+                             bins - 1)
+            return pa.table({"h": pa.array([np.bincount(idx, minlength=bins).tobytes()])})
+
+        acc = np.zeros(bins, dtype=np.int64)
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            acc += np.frombuffer(row["h"], dtype=np.int64)
+        return acc
+
+    import pyarrow.compute as pc
+
+    stats = dataset_column_stats(ds, [col])[col]
+    lo, hi, n = float(stats["min"]), float(stats["max"]), stats["count"] - stats["null_count"]
+    target = int(np.floor(q * (n - 1)))  # duckdb quantile_disc index convention
+    below = 0
+    for _ in range(4):  # each pass narrows the range by ~bins x
+        if lo == hi:
+            return lo
+        h = hist_pass(lo, hi)
+        cum = np.cumsum(h)
+        b = int(np.searchsorted(cum, target - below + 1))
+        in_bin = int(h[b])
+        if in_bin <= 100_000:
+            break
+        below += int(cum[b]) - in_bin
+        width = (hi - lo) / bins
+        lo, hi = lo + b * width, lo + (b + 1) * width
+
+    width = (hi - lo) / bins
+    blo, bhi = lo + b * width, lo + (b + 1) * width
+
+    def collect(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (v >= blo) & (v <= bhi)
+        return pa.table({col: pa.array(v[keep])})
+
+    vals = np.sort(np.concatenate([
+        r[col].to_numpy(zero_copy_only=False)
+        for r in ds.map_batches(collect, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow") if r.num_rows
+    ] or [np.empty(0)]))
+    # account for values below the bin (strictly below blo is approximate at
+    # bin edges, so recount exactly)
+    def count_below(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"c": pa.array([int((v < blo).sum())], type=pa.int64())})
+
+    exact_below = sum(r["c"] for r in
+                      ds.map_batches(count_below, batch_format="pyarrow").take_all())
+    return float(vals[target - exact_below])
+
+
 def group_stats_by(ds: rd.Dataset, key: str, sum_col: str) -> rd.Dataset:
     """Grouped count+sum with pre-aggregation: one partial row per (batch, key)
     before the shuffle, so the groupby moves partials, not rows."""

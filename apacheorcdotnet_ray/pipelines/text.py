@@ -75,6 +75,20 @@ def token_count_by_source(ds: rd.Dataset) -> rd.Dataset:
     )
 
 
+def extract_json_field(ds: rd.Dataset, col: str, field: str,
+                       id_col: str = "event_id") -> rd.Dataset:
+    """Vectorized JSON field extraction (polars json_path_match — Rust
+    kernel) from a JSON-string column; returns (id, value as int64)."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.select([col]))[col]
+        vals = s.str.json_path_match(f"$.{field}").cast(pl.Int64).to_arrow()
+        return pa.table({id_col: batch.column(id_col), field: vals.cast(pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def quality_scores(ds: rd.Dataset) -> rd.Dataset:
     """Per-doc quality signals: word count, distinct-word count, uniqueness
     ratio, mean word length. Matches the oracle formulas exactly."""

@@ -275,3 +275,39 @@ def test_compact_stripes(ray_session, tmp_path):
 
     res = verify_roundtrip(rd.from_arrow(t), decode_dataset(out))
     assert res["content_match"], res
+
+
+def test_quantile_exact_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    rng = np.random.default_rng(21)
+    v = np.concatenate([rng.normal(0, 1, 30_000), rng.normal(50, 5, 5000),
+                        np.full(2000, 7.5)])  # heavy duplicate cluster
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)})).repartition(8)
+    for q in (0.1, 0.5, 0.9, 0.999):
+        expect = float(np.sort(v)[int(np.floor(q * (len(v) - 1)))])
+        got = stats.quantile_exact(ds, "x", q)
+        assert got == expect, (q, got, expect)
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 11:00",  # u1: 2 sessions
+        "2024-01-01 09:00",                                          # u2: 1 session
+    ])
+    t = pa.table({"user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us"))})
+    out = stats.sessionize(rd.from_arrow(t), gap_minutes=30).to_pandas()
+    got = out.set_index("user_id")
+    assert got.loc[1, "n_sessions"] == 2 and got.loc[1, "n_events"] == 3
+    assert got.loc[2, "n_sessions"] == 1 and got.loc[2, "n_events"] == 1
