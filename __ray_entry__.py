@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey"),
         "top_k_event_types": lambda sf_dir: stats.top_k(
             _read(sf_dir, "events", columns=["event_type"]), "event_type", k=5),
+        "pricing_summary": lambda sf_dir: stats.pricing_summary(
+            _read(sf_dir, "lineitem", columns=[
+                "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])),
         "sessionize": lambda sf_dir: stats.sessionize(
             _read(sf_dir, "events", columns=["user_id", "ts"])),
         "quantile_median": _quantile_median,
@@ -330,6 +333,13 @@ def oracle_sql() -> dict[str, str]:
         "top_k_event_types": (
             "SELECT event_type, count(*) AS cnt FROM events"
             " GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 5"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,"
+            " count(*) AS count_order"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL"

@@ -162,6 +162,37 @@ def top_k(ds: rd.Dataset, col: str, k: int = 10) -> pa.Table:
     })
 
 
+def pricing_summary(ds: rd.Dataset) -> rd.Dataset:
+    """TPC-H Q1-shaped grouped multi-aggregate over lineitem with per-batch
+    pre-aggregation; money columns quantized to integer cents so sums are
+    association-order-independent (oracle-comparable)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.multiply(batch.column("l_extendedprice"),
+                                     pa.scalar(100.0))).cast(pa.int64())
+        qty = batch.column("l_quantity").cast(pa.int64())  # quantities are integral
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "q": qty,
+            "c": cents,
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum"), ("c", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_cents", "p_cnt"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_qty", alias_name="sum_qty"),
+                   Sum("p_cents", alias_name="sum_cents"),
+                   Sum("p_cnt", alias_name="count_order"))
+    )
+
+
 def sessionize(
     ds: rd.Dataset, user_col: str = "user_id", ts_col: str = "ts",
     gap_minutes: float = 30.0,
