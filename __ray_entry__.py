@@ -41,13 +41,16 @@ def _out_dir(sf_dir: str, tag: str) -> str:
     return os.path.join(_SCRATCH, f"{tag}-{h}")
 
 
-def _roundtrip(sf_dir: str, table: str):
+def _roundtrip(sf_dir: str, table: str, compression: str = "zlib"):
     """Encode a testdata table to stripes and decode it back — the correctness
     gate for the whole engine: the oracle is a plain SELECT of the source."""
     from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus
+    from apacheorcdotnet_ray.stripe import EncodeConfig
 
-    out = _out_dir(sf_dir, f"rt-{table}")
-    encode_corpus([_table_path(sf_dir, table)], out)  # resume-aware, idempotent
+    out = _out_dir(sf_dir, f"rt-{table}-{compression}" if compression != "zlib"
+                   else f"rt-{table}")
+    encode_corpus([_table_path(sf_dir, table)], out,
+                  config=EncodeConfig(compression=compression))  # resume-aware
     return decode_dataset(out)
 
 
@@ -192,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_events": roundtrip("events"),
         "roundtrip_documents": roundtrip("documents"),
         "roundtrip_embeddings": roundtrip("embeddings"),
+        "roundtrip_orders_zstd": lambda sf_dir: _roundtrip(sf_dir, "orders", "zstd"),
         "predicate_scan": _predicate_scan,
         "tokenize_roundtrip": _tokenize_roundtrip,
         "grouped_encode_roundtrip": _grouped_roundtrip,
@@ -280,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_embeddings": "SELECT * FROM embeddings",
+        "roundtrip_orders_zstd": "SELECT * FROM orders",
         "predicate_scan": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
             " WHERE l_orderkey <= 5000"
