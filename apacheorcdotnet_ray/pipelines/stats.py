@@ -262,27 +262,36 @@ def quantile_exact(ds: rd.Dataset, col: str, q: float, bins: int = 4096) -> floa
         width = (hi - lo) / bins
         lo, hi = lo + b * width, lo + (b + 1) * width
 
-    width = (hi - lo) / bins
-    blo, bhi = lo + b * width, lo + (b + 1) * width
+    # final pass uses the SAME bin-index formula as the histogram so edge
+    # rounding can never disagree between the count and the collected values
+    flo, fhi, fb = lo, hi, b
 
-    def collect(batch: pa.Table) -> pa.Table:
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        inside = (v >= flo) & (v <= fhi)
+        idx = np.full(len(v), -1, dtype=np.int64)
+        idx[inside] = np.minimum(
+            ((v[inside] - flo) / max(fhi - flo, 1e-300) * bins).astype(np.int64),
+            bins - 1)
+        return idx
+
+    # two small follow-up aggregations: the bin's values and the exact count
+    # below the bin (values below `lo` from earlier passes included)
+    def bin_vals(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = (v >= blo) & (v <= bhi)
-        return pa.table({col: pa.array(v[keep])})
+        return pa.table({col: pa.array(v[bin_of(v) == fb])})
 
-    vals = np.sort(np.concatenate([
-        r[col].to_numpy(zero_copy_only=False)
-        for r in ds.map_batches(collect, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow") if r.num_rows
-    ] or [np.empty(0)]))
-    # account for values below the bin (strictly below blo is approximate at
-    # bin edges, so recount exactly)
-    def count_below(batch: pa.Table) -> pa.Table:
+    def below_count(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table({"c": pa.array([int((v < blo).sum())], type=pa.int64())})
+        idx = bin_of(v)
+        c = int((v < flo).sum() + ((idx >= 0) & (idx < fb)).sum())
+        return pa.table({"c": pa.array([c], type=pa.int64())})
 
+    parts = [r[col].to_numpy(zero_copy_only=False)
+             for r in ds.map_batches(bin_vals, batch_format="pyarrow").iter_batches(
+                 batch_format="pyarrow") if r.num_rows]
+    vals = np.sort(np.concatenate(parts)) if parts else np.empty(0)
     exact_below = sum(r["c"] for r in
-                      ds.map_batches(count_below, batch_format="pyarrow").take_all())
+                      ds.map_batches(below_count, batch_format="pyarrow").take_all())
     return float(vals[target - exact_below])
 
 
