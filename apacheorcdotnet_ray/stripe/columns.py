@@ -167,7 +167,9 @@ def _encode_values(name: str, valid: pa.Array, config: EncodeConfig,
         return "varint"
 
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
-        vals = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # date32 has no direct int64 cast; bridge through its storage width
+        via = valid.cast(pa.int32()) if t == pa.date32() else valid
+        vals = via.cast(pa.int64()).to_numpy(zero_copy_only=False)
         codec, enc = _encode_int_data(vals, config, signed=True)
         streams.append(Stream(name, DATA, codec, enc, nv, {"signed": True}))
         return codec
@@ -315,7 +317,10 @@ def _decode_values(name: str, t: pa.DataType, by_kind: dict, child_streams: list
 
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
         vals = _decode_int_data(by_kind[DATA])
-        return pa.array(vals, type=pa.int64()).cast(t)
+        arr = pa.array(vals, type=pa.int64())
+        if t == pa.date32():
+            arr = arr.cast(pa.int32())
+        return arr.cast(t)
 
     if pa.types.is_boolean(t):
         return pa.array(bool_rle.decode(by_kind[DATA].data, nv))

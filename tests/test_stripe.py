@@ -202,3 +202,22 @@ def test_zstd_compression_roundtrip_and_size():
     s_enc, _ = encode_stripe(t, EncodeConfig(compression="zstd"))
     assert decode_stripe(s_enc).equals(t)
     assert len(s_enc) <= len(z_enc) * 1.01  # zstd-3 at-least-matches zlib-1
+
+
+def test_adversarial_schemas():
+    import pandas as pd
+    cases = {
+        "unicode": pa.table({"s": pa.array(["", "héllo", "日本語", None, "🎉", "a" * 10000])}),
+        "date32": pa.table({"d": pa.array([0, 19000, None], type=pa.date32())}),
+        "date64": pa.table({"d": pa.array([0, 10**12, None], type=pa.date64())}),
+        "tz_ts": pa.table({"t": pa.array([0, 10**15, None], type=pa.timestamp("us", tz="UTC"))}),
+        "uint64": pa.table({"u": pa.array([0, 2**63 - 1, 5], type=pa.uint64())}),
+        "nan_inf": pa.table({"f": pa.array([1.5, float("nan"), float("inf"), None], type=pa.float32())}),
+        "nested_str_list": pa.table({"ls": pa.array([["a", "b"], [], None, ["c"]],
+                                                    type=pa.list_(pa.string()))}),
+    }
+    for name, t in cases.items():
+        for comp in ("zlib", "zstd", "none"):
+            buf, _ = encode_stripe(t, EncodeConfig(compression=comp))
+            dec = decode_stripe(buf)
+            pd.testing.assert_frame_equal(dec.to_pandas(), t.to_pandas()), (name, comp)
