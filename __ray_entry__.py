@@ -34,10 +34,12 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _out_dir(sf_dir: str, tag: str) -> str:
+    from apacheorcdotnet_ray.stripe.container import FORMAT_VERSION
+
     paths = [_table_path(sf_dir, t) for t in
              ("lineitem", "documents", "embeddings")]
     fp = "|".join(f"{p}:{os.path.getsize(p)}" for p in paths if os.path.exists(p))
-    h = hashlib.sha256((sf_dir + fp).encode()).hexdigest()[:12]
+    h = hashlib.sha256(f"{sf_dir}{fp}v{FORMAT_VERSION}".encode()).hexdigest()[:12]
     return os.path.join(_SCRATCH, f"{tag}-{h}")
 
 

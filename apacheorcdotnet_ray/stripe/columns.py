@@ -93,7 +93,7 @@ def _decode_int_data(stream: Stream) -> np.ndarray:
     if stream.codec == "for":
         return for_.decode(stream.data)
     if stream.codec == "intdict":
-        return intdict.decode(stream.data)
+        return intdict.decode(stream.data, stream.n)
     if stream.codec == "varint":
         return varint.decode(stream.data, stream.n, stream.params.get("signed", True))
     raise ValueError(f"unknown int codec {stream.codec}")

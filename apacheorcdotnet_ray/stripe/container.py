@@ -30,6 +30,9 @@ from .framing import compress, decompress
 
 MAGIC = b"ORAY1"
 TAIL_MAGIC = b"ORAY"
+# bump when any codec's internal layout changes incompatibly (readers check
+# the footer's version; scratch caches key on it)
+FORMAT_VERSION = 2
 
 
 def encode_stripe(
@@ -71,7 +74,7 @@ def encode_stripe(
             out.extend(payload)
 
     footer = {
-        "version": 1,
+        "version": FORMAT_VERSION,
         "rows": table.num_rows,
         "compression": config.compression,
         "schema": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
@@ -105,6 +108,10 @@ def decode_stripe(buf: bytes, columns: list[str] | None = None) -> pa.Table:
     never decompressed.
     """
     footer = read_footer(buf)
+    if footer.get("version", 1) != FORMAT_VERSION:
+        raise ValueError(
+            f"stripe format v{footer.get('version', 1)} != reader v{FORMAT_VERSION};"
+            " re-encode the input")
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema"])))
     n_rows = footer["rows"]
     codec = footer.get("compression")
