@@ -92,6 +92,13 @@ def _broadcast_join(sf_dir: str):
     return broadcast_hash_join(ds, small, "l_partkey", "p_partkey")
 
 
+def _range_join_follow(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.joins import range_join_follow_counts
+
+    return range_join_follow_counts(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]))
+
+
 def _asof_join(sf_dir: str):
     from apacheorcdotnet_ray.pipelines.joins import asof_join
 
@@ -229,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- joins ---
         "broadcast_join": _broadcast_join,
         "asof_join": _asof_join,
+        "range_join_follow": _range_join_follow,
         # --- text analysis ---
         "token_count": lambda sf_dir: text.token_count(_read(sf_dir, "documents")),
         "token_count_regex": lambda sf_dir: text.token_count_regex(
@@ -364,6 +372,13 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join": (
             "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name"
             " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+        ),
+        "range_join_follow": (
+            "SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_follow"
+            " FROM events a LEFT JOIN events b"
+            " ON b.user_id = a.user_id AND b.ts > a.ts"
+            "  AND b.ts <= a.ts + INTERVAL 1 HOUR"
+            " GROUP BY a.event_id"
         ),
         "asof_join": (
             "WITH r AS (SELECT o_custkey AS k, o_orderdate AS t,"

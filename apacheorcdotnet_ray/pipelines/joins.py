@@ -42,6 +42,45 @@ def broadcast_hash_join(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def range_join_follow_counts(
+    ds: rd.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_minutes: float = 60.0,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Range (interval) self-join: for each event, the number of events of
+    the same key with ts in (t, t + window]. One bounded hash shuffle keyed
+    on ``key`` co-locates each key's events; within a partition the counts
+    for ALL events come from two vectorized searchsorted calls against the
+    key's sorted timestamp array — no pairwise expansion, so a window
+    containing m events costs O(log n), not O(m)."""
+    import pandas as pd
+
+    from .dedup import _grouped_map
+
+    delta = np.timedelta64(int(window_minutes * 60_000_000), "us")
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        out_ids, out_counts = [], []
+        for _, g in df.groupby(key, sort=False):
+            ts = g[ts_col].values  # sorted datetime64
+            lo = np.searchsorted(ts, ts, side="right")
+            hi = np.searchsorted(ts, ts + delta, side="right")
+            out_ids.append(g[id_col].values)
+            out_counts.append(hi - lo)
+        return pd.DataFrame({
+            id_col: np.concatenate(out_ids) if out_ids else np.array([], dtype=np.int64),
+            "n_follow": np.concatenate(out_counts).astype(np.int64)
+            if out_counts else np.array([], dtype=np.int64),
+        })
+
+    return _grouped_map(ds.select_columns([id_col, key, ts_col]), [key], count_part,
+                        num_partitions)
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -40,3 +40,23 @@ def test_asof_join_latest_before(ray_session):
     assert got[2] == 2.0       # latest before jan20
     assert got[3] == 3.0       # jan14 <= jan15 < jan16
     assert np.isnan(got[4])    # key 9 has no right rows
+
+
+def test_range_join_follow_counts(ray_session):
+    ts = pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:30",
+                         "2024-01-01 10:59", "2024-01-01 12:00",
+                         "2024-01-01 10:30"])
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 8], type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+    from apacheorcdotnet_ray.pipelines.joins import range_join_follow_counts
+
+    out = range_join_follow_counts(
+        rd.from_arrow(t), window_minutes=60).to_pandas().set_index("event_id")
+    assert out.loc[1, "n_follow"] == 2  # 10:30 and 10:59 within (10:00, 11:00]
+    assert out.loc[2, "n_follow"] == 1  # 10:59
+    assert out.loc[3, "n_follow"] == 0  # 12:00 outside
+    assert out.loc[4, "n_follow"] == 0
+    assert out.loc[5, "n_follow"] == 0  # different user
