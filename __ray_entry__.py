@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": lambda sf_dir: stats.pricing_summary(
             _read(sf_dir, "lineitem", columns=[
                 "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])),
+        "top_k_by_user": lambda sf_dir: stats.top_k_by_group(
+            _read(sf_dir, "events", columns=["user_id", "event_type"]),
+            "user_id", "event_type", k=2),
         "sessionize": lambda sf_dir: stats.sessionize(
             _read(sf_dir, "events", columns=["user_id", "ts"])),
         "quantile_median": _quantile_median,
@@ -355,6 +358,14 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,"
             " count(*) AS count_order"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_k_by_user": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS cnt FROM events"
+            "   GROUP BY user_id, event_type),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY user_id"
+            "   ORDER BY cnt DESC, event_type) AS rank FROM c)"
+            " SELECT user_id, event_type, CAST(cnt AS BIGINT) AS cnt,"
+            " CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 2"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL"

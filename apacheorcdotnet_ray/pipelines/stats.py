@@ -295,6 +295,31 @@ def quantile_exact(ds: rd.Dataset, col: str, q: float, bins: int = 4096) -> floa
     return float(vals[target - exact_below])
 
 
+def top_k_by_group(ds: rd.Dataset, group: str, col: str, k: int = 3) -> rd.Dataset:
+    """Per-group heavy hitters: top-k values of ``col`` within each ``group``
+    by count (ties break by value). Pre-aggregated (group, value) counts move
+    through the shuffle, never rows; the per-partition reduction is one
+    vectorized pandas sort + cumcount head."""
+    import pandas as pd
+
+    from .dedup import _grouped_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([group, col]).aggregate([([], "count_all")])
+        return g.rename_columns([group, col, "p_cnt"])
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby([group, col], sort=False, as_index=False)["p_cnt"].sum()
+        c = c.sort_values([group, "p_cnt", col], ascending=[True, False, True],
+                          kind="mergesort")
+        c["rank"] = c.groupby(group, sort=False).cumcount() + 1
+        out = c[c["rank"] <= k].rename(columns={"p_cnt": "cnt"})
+        return out[[group, col, "cnt", "rank"]]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _grouped_map(partials, [group], reduce_part)
+
+
 def group_stats_by(ds: rd.Dataset, key: str, sum_col: str) -> rd.Dataset:
     """Grouped count+sum with pre-aggregation: one partial row per (batch, key)
     before the shuffle, so the groupby moves partials, not rows."""
