@@ -204,30 +204,44 @@ def compact_stripes(
 # resumable partition-mapped job
 
 
-def enumerate_partitions(paths: list[str], row_groups_per_partition: int = 4) -> list[dict]:
-    """Deterministic (file, row-group range) partitions from parquet metadata.
-
-    Driver-side and cheap (footer reads only) — the analog of the reader's
-    FileTail/stripe-directory scan (FileTail.cs:22-54)."""
+def _file_partitions(path: str, row_groups_per_partition: int) -> list[dict]:
+    md = pq.ParquetFile(path).metadata
+    n_rg = md.num_row_groups
+    size = os.path.getsize(path)
     parts = []
-    for path in sorted(paths):
-        md = pq.ParquetFile(path).metadata
-        n_rg = md.num_row_groups
-        size = os.path.getsize(path)
-        for start in range(0, n_rg, row_groups_per_partition):
-            end = min(start + row_groups_per_partition, n_rg)
-            rows = sum(md.row_group(i).num_rows for i in range(start, end))
-            parts.append(
-                {
-                    "partition_id": f"{os.path.basename(path)}:rg{start}-{end}",
-                    "path": path,
-                    "rg_start": start,
-                    "rg_end": end,
-                    "rows": rows,
-                    "fingerprint": f"{size}-{md.num_rows}",
-                }
-            )
+    for start in range(0, n_rg, row_groups_per_partition):
+        end = min(start + row_groups_per_partition, n_rg)
+        rows = sum(md.row_group(i).num_rows for i in range(start, end))
+        parts.append(
+            {
+                "partition_id": f"{os.path.basename(path)}:rg{start}-{end}",
+                "path": path,
+                "rg_start": start,
+                "rg_end": end,
+                "rows": rows,
+                "fingerprint": f"{size}-{md.num_rows}",
+            }
+        )
     return parts
+
+
+def enumerate_partitions(paths: list[str], row_groups_per_partition: int = 4) -> list[dict]:
+    """Deterministic (file, row-group range) partitions from parquet metadata
+    — the analog of the reader's FileTail/stripe-directory scan
+    (FileTail.cs:22-54). Footer reads are cheap but serial; above a few
+    hundred files they fan out as Ray tasks (a 100 TB corpus has ~10^5
+    files — a serial driver scan would dominate job startup)."""
+    paths = sorted(paths)
+    if len(paths) > 256:
+        import ray
+
+        @ray.remote(num_cpus=0.25)
+        def scan(p: str) -> list[dict]:
+            return _file_partitions(p, row_groups_per_partition)
+
+        nested = ray.get([scan.remote(p) for p in paths])
+        return [part for sub in nested for part in sub]
+    return [part for p in paths for part in _file_partitions(p, row_groups_per_partition)]
 
 
 def split_for_stripes(table: pa.Table, config: EncodeConfig) -> list[pa.Table]:

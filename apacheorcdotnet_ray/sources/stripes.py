@@ -65,15 +65,28 @@ def _maybe_satisfies(stats: dict, op: str, lit) -> bool:
     return not (lo == hi == lit)  # !=
 
 
-def prune_stripes(paths: list[str], predicate: tuple) -> list[str]:
+def _prune_one(path: str, predicate: tuple) -> bool:
     col, op, lit = predicate
-    keep = []
-    for p in paths:
-        footer = read_stripe_footer(p)
-        stats = next((c["stats"] for c in footer["columns"] if c["name"] == col), {})
-        if _maybe_satisfies(stats, op, lit):
-            keep.append(p)
-    return keep
+    footer = read_stripe_footer(path)
+    stats = next((c["stats"] for c in footer["columns"] if c["name"] == col), {})
+    return _maybe_satisfies(stats, op, lit)
+
+
+def prune_stripes(paths: list[str], predicate: tuple) -> list[str]:
+    """Stat-based stripe pruning via tail-only footer reads; fans out as Ray
+    tasks above a few hundred files (a big corpus has far more stripes than
+    a serial driver scan should touch)."""
+    if len(paths) > 256:
+        import ray
+
+        @ray.remote(num_cpus=0.25)
+        def check(chunk: list[str]) -> list[bool]:
+            return [_prune_one(p, predicate) for p in chunk]
+
+        chunks = [paths[i : i + 64] for i in range(0, len(paths), 64)]
+        flags = [f for sub in ray.get([check.remote(c) for c in chunks]) for f in sub]
+        return [p for p, f in zip(paths, flags) if f]
+    return [p for p in paths if _prune_one(p, predicate)]
 
 
 def read_stripes(
