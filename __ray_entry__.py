@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8),
         "dedup_embedding": lambda sf_dir: dedup.dedup_embedding_cosine(
             _read(sf_dir, "embeddings"), threshold=0.48),
+        "dedup_embedding_lsh": lambda sf_dir: dedup.dedup_embedding_lsh(
+            _read(sf_dir, "embeddings"), threshold=0.45),
         # --- similarity search ---
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,

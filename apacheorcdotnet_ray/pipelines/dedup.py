@@ -462,6 +462,74 @@ def dedup_ngram_jaccard(
     return _grouped_map(pairs, ["doc_a", "doc_b"], count_and_score)
 
 
+def dedup_embedding_lsh(
+    emb_ds: rd.Dataset, threshold: float = 0.9, n_planes: int = 16,
+    bands: int = 4, seed: int = 19,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> rd.Dataset:
+    """Scale-path embedding near-dup: random-hyperplane (cosine) LSH.
+
+    Sign bits of R @ v give an n_planes-bit signature; banding the bits (as
+    in MinHash LSH) buckets candidates, which verify with exact cosine inside
+    their group. Nothing is broadcast and no all-pairs matrix exists — the
+    shuffle moves (band, bucket, id, vector) rows only. Approximate: a pair
+    is found iff it shares all bits of >=1 band (high recall near
+    threshold->1; tune n_planes/bands for lower thresholds)."""
+    planes_by_dim: dict[int, np.ndarray] = {}
+    bits_per_band = n_planes // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from .similarity_util import to_matrix, normalize
+
+        m = normalize(to_matrix(batch.column(emb_col)))
+        d = m.shape[1]
+        if d not in planes_by_dim:  # same seed per dim → identical planes everywhere
+            planes_by_dim[d] = np.random.default_rng(seed).normal(size=(d, n_planes))
+        bits = (m @ planes_by_dim[d]) > 0  # (n, planes)
+        weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
+        banded = bits.reshape(len(m), bands, bits_per_band)
+        bh = (banded.astype(np.uint64) * weights).sum(axis=2)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        flat = m.astype(np.float32)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(flat, bands, axis=0).ravel(), type=pa.float32()), d)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), len(m))),
+            "band_hash": pa.array(bh.ravel().view(np.int64)),
+            "vec": emb,
+        })
+
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
+        out_a, out_b, out_c = [], [], []
+        for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].values
+            m = np.stack(g["vec"].values).astype(np.float64)
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = sims[iu, ju] >= threshold
+            out_a.append(ids[iu][keep])
+            out_b.append(ids[ju][keep])
+            out_c.append(sims[iu, ju][keep])
+        if not out_a:
+            return pd.DataFrame({"vec_a": pd.Series(dtype=df[id_col].dtype),
+                                 "vec_b": pd.Series(dtype=df[id_col].dtype),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        return pd.DataFrame({"vec_a": np.concatenate(out_a),
+                             "vec_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    pairs = _grouped_map(
+        emb_ds.map_batches(explode, batch_format="pyarrow"),
+        ["band_id", "band_hash"], bucket_verify)
+    return _grouped_map(pairs, ["vec_a", "vec_b"],
+                        lambda df: df.drop_duplicates(["vec_a", "vec_b"]))
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 

@@ -311,3 +311,27 @@ def test_sessionize_gap_semantics(ray_session):
     got = out.set_index("user_id")
     assert got.loc[1, "n_sessions"] == 2 and got.loc[1, "n_events"] == 3
     assert got.loc[2, "n_sessions"] == 1 and got.loc[2, "n_events"] == 1
+
+
+def test_dedup_embedding_lsh_finds_planted_dups(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import dedup
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(500, 16))
+    # plant 5 near-duplicate pairs (tiny perturbations)
+    dups = base[:5] + rng.normal(scale=0.01, size=(5, 16))
+    m = np.vstack([base, dups])
+    offs = (np.arange(len(m) + 1) * 16).astype(np.int32)
+    emb = pa.ListArray.from_arrays(pa.array(offs),
+                                   pa.array(m.ravel().astype(np.float32), type=pa.float32()))
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+                                 "embedding": emb})).repartition(4)
+    out = dedup.dedup_embedding_lsh(ds, threshold=0.98).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(out["vec_a"], out["vec_b"])}
+    planted = {(i, 500 + i) for i in range(5)}
+    assert planted <= found, planted - found
+    assert (out["cosine"] >= 0.98).all()
