@@ -93,12 +93,22 @@ def encode_grouped(
     from .stats import group_stats_by
 
     config = config or EncodeConfig()
-    budget = stripe_value_budget or config.target_stripe_values
     os.makedirs(out_dir, exist_ok=True)
 
-    totals = group_stats_by(
-        ds.select_columns([key, weight_col]), key, weight_col
-    ).take_all()  # tiny: one row per source
+    if weight_col in ds.schema().names:
+        budget = stripe_value_budget or config.target_stripe_values
+        totals = group_stats_by(
+            ds.select_columns([key, weight_col]), key, weight_col
+        ).take_all()  # tiny: one row per source
+    else:
+        # no flattened-value weight column → budget by row count instead
+        budget = stripe_value_budget or config.target_stripe_rows
+        from ray.data.aggregate import Count
+
+        totals = [
+            {key: r[key], "sum_val": r["count()"]}
+            for r in ds.groupby(key).aggregate(Count()).take_all()
+        ]
     n_salts = {r[key]: max(1, -(-int(r["sum_val"]) // budget)) for r in totals}
     salts_ref = ray.put(n_salts)
 

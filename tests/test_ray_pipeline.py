@@ -335,3 +335,25 @@ def test_dedup_embedding_lsh_finds_planted_dups(ray_session):
     planted = {(i, 500 + i) for i in range(5)}
     assert planted <= found, planted - found
     assert (out["cosine"] >= 0.98).all()
+
+
+def test_encode_grouped_without_weight_column(ray_session, tmp_path):
+    """Tables without n_tok fall back to row-count stripe budgets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_grouped
+    from apacheorcdotnet_ray.pipelines.verify import verify_roundtrip
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(400)]),
+        "source": pa.array((["hot"] * 300) + (["cold"] * 100)),
+        "x": pa.array(np.arange(400, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(t)
+    out = str(tmp_path / "g")
+    metrics = encode_grouped(ds, out, stripe_value_budget=100).to_pandas()
+    assert len(metrics) >= 4  # hot source splits by row budget
+    res = verify_roundtrip(ds, decode_dataset(out))
+    assert res["content_match"], res
