@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_by_source": lambda sf_dir: text.token_count_by_source(
             _read(sf_dir, "documents", columns=["source", "text"])),
         "quality_scores": lambda sf_dir: text.quality_scores(_read(sf_dir, "documents")),
+        "quality_filter": lambda sf_dir: text.quality_filter(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            min_words=40, min_uniq_ratio=0.25).select_columns(["doc_id"]),
         "lang_id": lambda sf_dir: text.lang_id(_read(sf_dir, "documents")),
         "doc_fingerprints": lambda sf_dir: text.doc_fingerprints(_read(sf_dir, "documents")),
         # --- deduplication ---
@@ -428,6 +431,12 @@ def oracle_sql() -> dict[str, str]:
             " CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)"
             "   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len"
             " FROM documents"
+        ),
+        "quality_filter": (
+            "SELECT doc_id FROM documents"
+            " WHERE len(string_split(text, ' ')) BETWEEN 40 AND 10000"
+            " AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+            "   / len(string_split(text, ' ')) >= 0.25"
         ),
         "lang_id": (
             f"SELECT doc_id, ({stopword_terms}) AS stop_hits,"

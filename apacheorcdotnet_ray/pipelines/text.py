@@ -113,6 +113,27 @@ def quality_scores(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def quality_filter(
+    ds: rd.Dataset, min_words: int = 20, max_words: int = 10_000,
+    min_uniq_ratio: float = 0.3,
+) -> rd.Dataset:
+    """Training-data quality gate: keep docs inside the word-count band with
+    enough lexical diversity. One vectorized pass computes the signals and
+    applies the mask per batch — the filter composes with any downstream
+    stage without materializing rejects."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_words = word_counts(batch).cast(pa.int64()).to_numpy()
+        n_unique = pl.from_arrow(batch.select(["text"]))["text"] \
+            .str.split(" ").list.n_unique().to_numpy().astype(np.int64)
+        keep = (n_words >= min_words) & (n_words <= max_words) & (
+            n_unique.astype(np.float64) / n_words >= min_uniq_ratio)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def lang_id(ds: rd.Dataset) -> rd.Dataset:
     """Stopword-hit language heuristic with SQL-identical semantics:
     hits = Σ_w count(' w ' in ' '||text||' '); lang_pred = 'en' if hits>0."""
