@@ -155,15 +155,19 @@ def _grouped_roundtrip(sf_dir: str):
 
 
 def entry() -> Any:
+    """Flagship pipeline, the north-star shape end-to-end: documents →
+    tokenize (vectorized map_batches) → source-keyed skew-split stripe
+    packing through the actor-pool encoder (per-source FSST state, lineage
+    per stripe) → decode back to the input_hint schema."""
     sf_dir = "/root/testdata/sf0.001"
-    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_grouped
     from apacheorcdotnet_ray.pipelines.text import tokenize_documents
     import shutil
 
     out = _out_dir(sf_dir, "entry-tokens")
     shutil.rmtree(out, ignore_errors=True)
     ds = tokenize_documents(_read(sf_dir, "documents"))
-    encode_dataset(ds, out, batch_size=10_000).materialize()
+    encode_grouped(ds, out).materialize()
     return decode_dataset(out)
 
 
