@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings"), threshold=0.48),
         "dedup_embedding_lsh": lambda sf_dir: dedup.dedup_embedding_lsh(
             _read(sf_dir, "embeddings"), threshold=0.45),
+        "dedup_end_to_end": _dedup_end_to_end,
         # --- similarity search ---
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
@@ -275,6 +276,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_frame_sample": _media_frame_sample,
     }
+
+
+def _dedup_end_to_end(sf_dir: str):
+    """Full near-dup removal: exact ngram-jaccard pairs → connected
+    components → canonical-survivor filter over the corpus."""
+    from apacheorcdotnet_ray.pipelines import dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.dedup_ngram_jaccard(docs, threshold=0.8)
+    clusters = dedup.dup_clusters(pairs)
+    return dedup.keep_canonical(docs, clusters).select_columns(["doc_id"])
 
 
 def _media_features(sf_dir: str):
@@ -448,6 +460,28 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_end_to_end": (
+            "WITH RECURSIVE"
+            " w AS (SELECT doc_id, string_split(text,' ') AS ws, text FROM documents),"
+            " sh AS (SELECT doc_id,"
+            "   CASE WHEN len(ws) < 3 THEN [text]"
+            "        ELSE list_distinct(list_transform(range(1, len(ws)-1),"
+            "             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s"
+            "   FROM w),"
+            " p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+            "   FROM sh a, sh b WHERE a.doc_id < b.doc_id"
+            "   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+            "     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),"
+            " e AS (SELECT doc_a AS a, doc_b AS b FROM p"
+            "   UNION ALL SELECT doc_b, doc_a FROM p),"
+            " reach(n, r) AS ("
+            "   SELECT a, a FROM e"
+            "   UNION"
+            "   SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.n),"
+            " rejects AS (SELECT n FROM reach GROUP BY n HAVING min(r) < n)"
+            " SELECT doc_id FROM documents"
+            " WHERE doc_id NOT IN (SELECT n FROM rejects)"
+        ),
         "dedup_embedding": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
             " FROM embeddings a, embeddings b"

@@ -462,6 +462,55 @@ def dedup_ngram_jaccard(
     return _grouped_map(pairs, ["doc_a", "doc_b"], count_and_score)
 
 
+def dup_clusters(pairs_ds: rd.Dataset, a_col: str = "doc_a", b_col: str = "doc_b") -> rd.Dataset:
+    """Connected components over verified near-dup pairs → (doc_id, cluster)
+    rows, cluster = min doc id of the component (the canonical survivor).
+
+    The pair set is orders of magnitude smaller than the corpus (only
+    verified near-duplicates), so union-find on the driver is the right
+    tool (cf. Ray guide: driver-side only when the candidate set is provably
+    small). At extreme pair counts, swap in a few rounds of distributed
+    min-label propagation over the same (node, label) schema."""
+    rows = pairs_ds.select_columns([a_col, b_col]).take_all()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r[a_col]), find(r[b_col])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted(parent)
+    out = pa.table({
+        "doc_id": pa.array(members),
+        "cluster": pa.array([find(m) for m in members]),
+    })
+    return rd.from_arrow(out)
+
+
+def keep_canonical(ds: rd.Dataset, clusters: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
+    """Drop every clustered doc except its canonical (min-id) survivor: the
+    reject set {doc_id != cluster} broadcasts via ray.put and filters inside
+    map_batches — an anti-join with no shuffle of the corpus."""
+    import ray
+
+    rej = {r["doc_id"] for r in clusters.take_all() if r["doc_id"] != r["cluster"]}
+    rej_ref = ray.put(rej)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rejects = ray.get(rej_ref)
+        ids = batch.column(id_col).to_pylist()
+        keep = pa.array([i not in rejects for i in ids])
+        return batch.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def dedup_embedding_lsh(
     emb_ds: rd.Dataset, threshold: float = 0.9, n_planes: int = 16,
     bands: int = 4, seed: int = 19,

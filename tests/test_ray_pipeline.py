@@ -357,3 +357,25 @@ def test_encode_grouped_without_weight_column(ray_session, tmp_path):
     assert len(metrics) >= 4  # hot source splits by row budget
     res = verify_roundtrip(ds, decode_dataset(out))
     assert res["content_match"], res
+
+
+def test_dup_clusters_and_canonical_filter(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import dedup
+
+    # components: {1,2,3} (chained), {7,9}; singletons untouched
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 7], type=pa.int64()),
+        "doc_b": pa.array([2, 3, 9], type=pa.int64()),
+    }))
+    cl = dedup.dup_clusters(pairs).to_pandas().set_index("doc_id")["cluster"].to_dict()
+    assert cl == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 5, 7, 9], type=pa.int64()),
+        "text": pa.array(list("abcdef")),
+    }))
+    kept = dedup.keep_canonical(corpus, dedup.dup_clusters(pairs)).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 5, 7]
