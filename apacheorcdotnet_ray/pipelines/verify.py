@@ -36,11 +36,31 @@ def dataset_fingerprint(ds: rd.Dataset, key: str = "doc_id") -> tuple[int, int]:
 
 
 def verify_roundtrip(source_ds: rd.Dataset, decoded_ds: rd.Dataset, key: str = "doc_id") -> dict:
-    a_hash, a_rows = dataset_fingerprint(source_ds, key)
-    b_hash, b_rows = dataset_fingerprint(decoded_ds, key)
+    """Both sides fingerprint in ONE streamed execution: tagged partials from
+    a union pipeline, so source read and stripe decode overlap instead of
+    running as two sequential barriers."""
+    import pyarrow as pa
+
+    def tagged(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            t = _row_fingerprints(b, key)
+            return t.append_column("side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    parts = (
+        source_ds.map_batches(tagged("src"), batch_format="pyarrow")
+        .union(decoded_ds.map_batches(tagged("dec"), batch_format="pyarrow"))
+        .take_all()
+    )
+    acc = {"src": 0, "dec": 0}
+    rows = {"src": 0, "dec": 0}
+    for p in parts:
+        acc[p["side"]] ^= p["xor_hash"]
+        rows[p["side"]] += p["rows"]
     return {
-        "rows_match": a_rows == b_rows,
-        "content_match": a_hash == b_hash,
-        "source_rows": a_rows,
-        "decoded_rows": b_rows,
+        "rows_match": rows["src"] == rows["dec"],
+        "content_match": acc["src"] == acc["dec"],
+        "source_rows": rows["src"],
+        "decoded_rows": rows["dec"],
     }
