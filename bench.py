@@ -26,6 +26,10 @@ _SF_SCALE = {"sf0.001": (4, 500), "sf0.01": (8, 2000), "sf0.1": (32, 2500)}
 
 
 def corpus_params() -> tuple[int, int]:
+    if os.environ.get("GRAFT_SCALING_CORPUS"):
+        # scaling runs need enough compute to amortize fixed startup/shuffle
+        # costs at BOTH parallelism levels, or the ratio measures overhead
+        return (64, 6000)
     tag = os.path.basename(os.path.normpath(SF_DIR))
     return _SF_SCALE.get(tag, (16, 2500))
 
@@ -131,17 +135,19 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CORPUS="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     # N vs 4N parallelism in fresh processes (sandbox stand-in for N vs 4N
-    # nodes). 2 vs 8: this box exposes 32 vCPUs but measured parallel
-    # efficiency of pure compute drops past ~8 concurrent processes (SMT /
-    # virtualization), so 8->32 would measure the hardware, not the engine.
-    lo, hi = 2, 8
+    # nodes). Default 1 vs 4: this box exposes 32 vCPUs but per-process
+    # throughput of memory-heavy kernels degrades measurably beyond ~4-8
+    # concurrent processes (shared bandwidth / SMT / virtualization), so
+    # higher levels measure the hardware ceiling, not the engine's scaling;
+    # BASELINE.md records measurements at both 1v4 and 2v8.
+    lo, hi = int(os.environ.get("GRAFT_SCALE_LO", 1)), int(os.environ.get("GRAFT_SCALE_HI", 4))
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({
