@@ -10,6 +10,12 @@ documents), candidate verification per group, tiny driver-side merge.
 from __future__ import annotations
 
 import numpy as np
+
+# polars imports at module level: its lazy submodule init is not
+# thread-safe, and Ray workers can hit first-use concurrently from
+# multiple task threads (observed: AttributeError on polars._reexport)
+import polars  # noqa: F401
+
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd

@@ -10,6 +10,12 @@ from __future__ import annotations
 import json
 
 import pyarrow as pa
+
+# polars imports at module level: its lazy submodule init is not
+# thread-safe, and Ray workers can hit first-use concurrently from
+# multiple task threads (observed: AttributeError on polars._reexport)
+import polars  # noqa: F401
+
 import ray.data as rd
 
 from ..stripe.stats import column_stats, merge_stats

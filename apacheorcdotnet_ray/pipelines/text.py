@@ -11,6 +11,12 @@ from __future__ import annotations
 import zlib
 
 import numpy as np
+
+# polars imports at module level: its lazy submodule init is not
+# thread-safe, and Ray workers can hit first-use concurrently from
+# multiple task threads (observed: AttributeError on polars._reexport)
+import polars  # noqa: F401
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd

@@ -6,6 +6,12 @@ over tiny hash partials — no driver-side row loops, no full materialization.""
 from __future__ import annotations
 
 import numpy as np
+
+# polars imports at module level: its lazy submodule init is not
+# thread-safe, and Ray workers can hit first-use concurrently from
+# multiple task threads (observed: AttributeError on polars._reexport)
+import polars  # noqa: F401
+
 import pyarrow as pa
 import ray.data as rd
 
