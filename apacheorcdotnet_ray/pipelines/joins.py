@@ -105,9 +105,12 @@ def asof_join(
     def norm(side: str, id_col, key_col, on_col, val_col):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
+            # Right rows carry a sentinel _id (never read) instead of nulls:
+            # a nullable int64 union column would coerce to float64 inside the
+            # pandas partition and destabilize the output dtype.
             return pa.table({
                 "_id": batch.column(id_col).cast(pa.int64()) if id_col
-                else pa.nulls(n, pa.int64()),
+                else pa.array(np.zeros(n, dtype=np.int64)),
                 "_jk": batch.column(key_col).cast(pa.int64()),
                 "_t": batch.column(on_col).cast(pa.timestamp("us"))
                 if pa.types.is_temporal(batch.schema.field(on_col).type)
@@ -143,11 +146,17 @@ def asof_join(
                                  "_t": pd.Series(dtype="datetime64[us]"),
                                  "_val": pd.Series(dtype="float64")})
         if not len(r):
-            out = l[["_id", "_t"]].copy()
-            out["_val"] = np.nan
-            return out
-        merged = pd.merge_asof(l, r, on="_t", by="_jk", direction="backward")
-        return merged[["_id", "_t", "_val"]]
+            merged = l[["_id", "_t"]].copy()
+            merged["_val"] = np.nan
+        else:
+            merged = pd.merge_asof(l, r, on="_t", by="_jk", direction="backward")
+        merged = merged[["_id", "_t", "_val"]]
+        # Pin dtypes so every partition emits the identical Arrow schema
+        # (int64 / timestamp[us] / float64) regardless of null patterns.
+        merged["_id"] = merged["_id"].astype("int64")
+        merged["_t"] = merged["_t"].astype("datetime64[us]")
+        merged["_val"] = merged["_val"].astype("float64")
+        return merged
 
     out = (
         both.map_batches(add_pk, batch_format="pyarrow")
