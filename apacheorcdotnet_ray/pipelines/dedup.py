@@ -142,16 +142,12 @@ def _batch_shingle_hashes(
         with np.errstate(over="ignore"):
             for d in short.tolist():
                 seg = wh[offs[d] : offs[d + 1]]
-                out[out_offs[d]] = (seg * mult[0]).sum()
+                # position-dependent fold (mult[:len] = same family as full
+                # shingles) so permuted word orders do NOT collide — matches
+                # the order-sensitive oracle semantics for <k-word docs
+                out[out_offs[d]] = (seg * mult[: len(seg)]).sum()
         return out, out_offs
     return s, np.concatenate([[0], np.cumsum(n_sh)])
-
-
-def _word_shingles(text: str, k: int) -> np.ndarray:
-    """Single-doc unique shingle set (used for exact-Jaccard verification);
-    same hash family as the batch path."""
-    flat, offs = _batch_shingle_hashes(pa.array([text]), k)
-    return np.unique(flat)
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -165,16 +161,16 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def _batch_minhash(
-    texts: pa.Array | pa.ChunkedArray, k: int, a: np.ndarray, b: np.ndarray
+def _minhash_from_shingles(
+    sh: np.ndarray, offs: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """(n_docs, num_perm) uint64 minhash signatures for a whole batch.
+    """(n_docs, num_perm) uint64 minhash signatures from a flat shingle
+    stream + doc offsets.
 
     Outer product (shingles x permutations) chunked to bound memory, with one
     ``np.minimum.reduceat`` per chunk collapsing doc segments — no per-doc
     Python-level hashing (duplicate shingles cannot change a min, so the
     flat shingle stream needs no per-doc unique)."""
-    sh, offs = _batch_shingle_hashes(texts, k)
     n_docs = len(offs) - 1
     num_perm = len(a)
     sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
@@ -191,6 +187,13 @@ def _batch_minhash(
         sigs[d0:d1] = np.minimum.reduceat(prod, starts, axis=0)
         d0 = d1
     return sigs
+
+
+def _batch_minhash(
+    texts: pa.Array | pa.ChunkedArray, k: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    sh, offs = _batch_shingle_hashes(texts, k)
+    return _minhash_from_shingles(sh, offs, a, b)
 
 
 def minhash_signatures(ds: rd.Dataset, k: int = 3, num_perm: int = 64) -> rd.Dataset:
@@ -210,16 +213,24 @@ def dedup_minhash_lsh(
     ds: rd.Dataset, k: int = 3, num_perm: int = 64, bands: int = 16,
     jaccard_threshold: float = 0.8,
 ) -> rd.Dataset:
-    """MinHash → LSH band buckets → candidate pairs → exact-Jaccard verify.
+    """MinHash → LSH band buckets → in-bucket exact-Jaccard verify.
 
-    Emits (doc_a, doc_b, jaccard) for verified near-duplicate pairs.
+    Emits (doc_a, doc_b, jaccard) for verified near-duplicate pairs. Each
+    banded row carries its doc's UNIQUE shingle-hash set, so verification
+    happens entirely inside the (band_id, band_hash) group — nothing is ever
+    collected to the driver or broadcast; the shuffle moves (doc_id, band,
+    hash, shingle set) rows only (set shipped once per band). A final grouped
+    stage dedupes pairs discovered by multiple bands.
+
     Partitioning assumption: all members of one LSH bucket fit in one group
     (true unless a bucket degenerates; buckets are (band_id, band_hash))."""
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm)
 
     def explode(batch: pa.Table) -> pa.Table:
-        sigs = _batch_minhash(batch.column("text"), k, a, b)
+        sh, offs = _batch_shingle_hashes(batch.column("text"), k)
+        sigs = _minhash_from_shingles(sh, offs, a, b)
+        ush, uoffs = _unique_per_doc(sh, offs)
         n = len(sigs)
         banded = sigs.reshape(n, bands, rows_per_band)
         with np.errstate(over="ignore"):
@@ -228,68 +239,48 @@ def dedup_minhash_lsh(
                 * np.uint64(0x9E3779B97F4A7C15)
             bh = (banded * mult).sum(axis=2)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sets = pa.LargeListArray.from_arrays(
+            pa.array(uoffs, type=pa.int64()), pa.array(ush.view(np.int64)))
+        rep = sets.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), bands)))
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, bands)),
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "band_hash": pa.array(bh.ravel().view(np.int64)),
+            "sh_set": rep,
         })
 
-    candidates = _grouped_map(
-        ds.map_batches(explode, batch_format="pyarrow"),
-        ["band_id", "band_hash"],
-        _bucket_pairs,
-    )
-    # one more grouped stage dedupes pairs discovered by multiple bands AND
-    # verifies exact jaccard, joining back on a broadcast id→text map:
-    # ray.put ONCE, read per task (fine while the candidate corpus fits the
-    # object store; at scale, ship shingle sets through the band groupby
-    # instead — documented partitioning assumption)
-    import ray
-
-    docs = ds.select_columns(["doc_id", "text"]).take_all()
-    lookup_ref = ray.put({r["doc_id"]: r["text"] for r in docs})
-
-    def dedup_and_verify(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.drop_duplicates(["doc_a", "doc_b"])
-        if not len(batch):
-            return pd.DataFrame({"doc_a": pd.Series(dtype=batch["doc_a"].dtype),
-                                 "doc_b": pd.Series(dtype=batch["doc_b"].dtype),
-                                 "jaccard": pd.Series(dtype=np.float64)})
-        lookup = ray.get(lookup_ref)
-        fa, oa = _batch_shingle_hashes(pa.array([lookup[d] for d in batch["doc_a"]]), k)
-        fb, ob = _batch_shingle_hashes(pa.array([lookup[d] for d in batch["doc_b"]]), k)
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
         out = []
-        for i, (da, db) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
-            sa = np.unique(fa[oa[i] : oa[i + 1]])
-            sb = np.unique(fb[ob[i] : ob[i + 1]])
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 1.0
-            if j >= jaccard_threshold:
-                out.append({"doc_a": da, "doc_b": db, "jaccard": j})
+        for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].values
+            sets = [np.asarray(s, dtype=np.int64) for s in g["sh_set"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    sa, sb = sets[i], sets[j]
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    union = len(sa) + len(sb) - inter
+                    jac = inter / union if union else 1.0
+                    if jac >= jaccard_threshold:
+                        out.append((ids[i], ids[j], jac))
         if not out:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=batch["doc_a"].dtype),
-                                 "doc_b": pd.Series(dtype=batch["doc_b"].dtype),
+            return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
+                                 "doc_b": pd.Series(dtype=df["doc_id"].dtype),
                                  "jaccard": pd.Series(dtype=np.float64)})
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
-    return _grouped_map(candidates, ["doc_a", "doc_b"], dedup_and_verify)
-
-
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """All intra-bucket pairs for a partition of complete buckets. Singleton
-    buckets (the vast majority) are dropped vectorized before the group loop."""
-    dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
-    out_a, out_b = [], []
-    for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
-        ids = np.sort(g["doc_id"].values)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        out_a.append(ids[iu])
-        out_b.append(ids[ju])
-    if not out_a:  # typed empty frame so Ray's block size accounting stays happy
-        return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
-                             "doc_b": pd.Series(dtype=df["doc_id"].dtype)})
-    return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+    pairs = _grouped_map(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["band_id", "band_hash"],
+        bucket_verify,
+    )
+    return _grouped_map(
+        pairs, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -403,63 +394,76 @@ def _unique_per_doc(flat: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.
 def dedup_ngram_jaccard(
     ds: rd.Dataset, k: int = 3, threshold: float = 0.8,
     id_col: str = "doc_id", text_col: str = "text",
+    df_cap: int | None = None,
 ) -> rd.Dataset:
     """Exact all-pairs n-gram Jaccard ≥ threshold, distributed via an
-    inverted shingle index — no candidate pruning, so the result is exact:
+    inverted shingle index — no candidate pruning, so the result is exact
+    when ``df_cap`` is None:
 
     1. per-doc unique shingle-hash sets (vectorized), emitted as
-       (shingle, doc) postings + a small (doc, set size) side table;
+       (shingle, doc, |set|) postings — each posting carries its doc's set
+       size so NOTHING is collected to the driver or broadcast;
     2. shuffle postings by shingle (bounded hash partitions); each shingle
-       shared by m docs yields its m(m-1)/2 doc pairs;
-    3. count pair occurrences per partition-local pandas groupby, then one
-       global grouped sum = |A ∩ B|; jaccard = c / (|A| + |B| - c).
+       shared by m docs yields its m(m-1)/2 doc pairs annotated with both
+       set sizes;
+    3. count pair occurrences per (doc_a, doc_b) group = |A ∩ B|;
+       jaccard = c / (|A| + |B| - c).
 
-    Skew note: a shingle appearing in f docs emits O(f^2) pairs — at corpus
-    scale, cap document frequency (drop shingles with f > df_cap) to bound
-    the join; left uncapped here because the oracle checks exactness."""
-    import ray
+    Skew bound: a shingle appearing in f docs emits O(f^2) pairs; with
+    ``df_cap`` set, shingles with in-partition document frequency > df_cap
+    are dropped (logged per partition via Ray's stdout capture). That makes
+    the intersection count a LOWER bound, i.e. recall can drop for pairs
+    whose overlap is concentrated in stop-shingles — the standard corpus-
+    scale trade. The oracle query runs with df_cap=None (exact)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         flat, offs = _batch_shingle_hashes(batch.column(text_col), k)
         flat, offs = _unique_per_doc(flat, offs)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
         return pa.table({
             "sh": pa.array(flat.view(np.int64)),
-            "doc": pa.array(np.repeat(ids, np.diff(offs))),
+            "doc": pa.array(np.repeat(ids, counts)),
+            "n": pa.array(np.repeat(counts.astype(np.int64), counts)),
         })
-
-    def sizes_partial(batch: pa.Table) -> pa.Table:
-        flat, offs = _batch_shingle_hashes(batch.column(text_col), k)
-        flat, offs = _unique_per_doc(flat, offs)
-        return pa.table({
-            "doc": batch.column(id_col),
-            "n": pa.array(np.diff(offs)),
-        })
-
-    sizes_rows = ds.map_batches(sizes_partial, batch_format="pyarrow").take_all()
-    size_ref = ray.put({r["doc"]: r["n"] for r in sizes_rows})
 
     def shingle_pairs(df: pd.DataFrame) -> pd.DataFrame:
         dup = df[df.duplicated(["sh"], keep=False)]
-        out_a, out_b = [], []
+        if df_cap is not None and len(dup):
+            f = dup.groupby("sh", sort=False)["sh"].transform("size")
+            hot = f > df_cap
+            if hot.any():
+                n_hot = dup.loc[hot, "sh"].nunique()
+                print(f"dedup_ngram_jaccard: dropped {n_hot} shingles "
+                      f"with df > {df_cap}")
+                dup = dup[~hot]
+        out_a, out_b, out_na, out_nb = [], [], [], []
         for _, g in dup.groupby("sh", sort=False):
-            ids = np.sort(g["doc"].values)
+            order = np.argsort(g["doc"].values, kind="stable")
+            ids = g["doc"].values[order]
+            ns = g["n"].values[order]
             iu, ju = np.triu_indices(len(ids), k=1)
             out_a.append(ids[iu])
             out_b.append(ids[ju])
+            out_na.append(ns[iu])
+            out_nb.append(ns[ju])
         if not out_a:
             return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc"].dtype),
-                                 "doc_b": pd.Series(dtype=df["doc"].dtype)})
+                                 "doc_b": pd.Series(dtype=df["doc"].dtype),
+                                 "n_a": pd.Series(dtype=np.int64),
+                                 "n_b": pd.Series(dtype=np.int64)})
         return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+                             "doc_b": np.concatenate(out_b),
+                             "n_a": np.concatenate(out_na).astype(np.int64),
+                             "n_b": np.concatenate(out_nb).astype(np.int64)})
 
     def count_and_score(df: pd.DataFrame) -> pd.DataFrame:
-        c = df.groupby(["doc_a", "doc_b"], sort=False).size().reset_index(name="inter")
-        sizes = ray.get(size_ref)
-        sa = c["doc_a"].map(sizes).to_numpy(dtype=np.float64)
-        sb = c["doc_b"].map(sizes).to_numpy(dtype=np.float64)
+        c = (df.groupby(["doc_a", "doc_b"], sort=False)
+             .agg(inter=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first"))
+             .reset_index())
         inter = c["inter"].to_numpy(dtype=np.float64)
-        j = inter / (sa + sb - inter)
+        j = inter / (c["n_a"].to_numpy(dtype=np.float64)
+                     + c["n_b"].to_numpy(dtype=np.float64) - inter)
         c["jaccard"] = j
         return c[j >= threshold][["doc_a", "doc_b", "jaccard"]]
 
@@ -505,13 +509,18 @@ def keep_canonical(ds: rd.Dataset, clusters: rd.Dataset, id_col: str = "doc_id")
     map_batches — an anti-join with no shuffle of the corpus."""
     import ray
 
-    rej = {r["doc_id"] for r in clusters.take_all() if r["doc_id"] != r["cluster"]}
-    rej_ref = ray.put(rej)
+    import pyarrow.compute as pc
+
+    rej_tbl = clusters.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("doc_id"), b.column("cluster")))
+        .select(["doc_id"]),
+        batch_format="pyarrow",
+    ).take_all()
+    rej_ref = ray.put(pa.array([r["doc_id"] for r in rej_tbl]))
 
     def fn(batch: pa.Table) -> pa.Table:
         rejects = ray.get(rej_ref)
-        ids = batch.column(id_col).to_pylist()
-        keep = pa.array([i not in rejects for i in ids])
+        keep = pc.invert(pc.is_in(batch.column(id_col), value_set=rejects))
         return batch.filter(keep)
 
     return ds.map_batches(fn, batch_format="pyarrow")
