@@ -8,8 +8,11 @@ id stream picks between RLEv2-unsigned (wins on runs/clusters) and flat
 fixed-width bit-packing (wins on high-entropy ids and encodes in one
 pack_bits call) by competing on a bounded sample.
 
-Layout: varint(n_dict) | varint(len(dict_rle)) | dict_rle | mode byte
-(0 = ids RLEv2, 1 = width byte + flat MSB-first bitpack) | ids payload.
+Layout: varint(n_dict) | varint(len(dict_rle)) | dict_rle | varint(n_values)
+| mode byte (0 = ids RLEv2, 1 = width byte + flat MSB-first bitpack) | ids
+payload. n_values is stored so decode needs no external count — the mode-1
+bitpack payload is padded to a byte boundary, making the count otherwise
+unrecoverable (a 97-value width-1 stream would infer 104).
 """
 
 from __future__ import annotations
@@ -54,6 +57,7 @@ def encode(values: np.ndarray, max_card: int | None = None) -> bytes | None:
     write_varint_unsigned(out, len(uniques))
     write_varint_unsigned(out, len(dict_rle))
     out.extend(dict_rle)
+    write_varint_unsigned(out, len(ids))
     # flat pack must win clearly — on a tie RLEv2's adaptivity is worth more
     # than the pack's encode speed
     if pack_sample < 0.95 * rle_sample:
@@ -72,13 +76,17 @@ def decode(buf: bytes, expected_count: int | None = None) -> np.ndarray:
     n_dict, dict_len = int(n_dict), int(dict_len)
     uniques = rlev2.decode(buf[pos : pos + dict_len], signed=True, expected_count=n_dict)
     pos += dict_len
+    n_values, pos = read_varint_unsigned(buf, pos)
+    n_values = int(n_values)
+    if expected_count is not None and expected_count != n_values:
+        raise ValueError(
+            f"intdict stream holds {n_values} values, caller expected {expected_count}")
+    expected_count = n_values
     mode = buf[pos]
     pos += 1
     if mode == 1:
         width = buf[pos]
         pos += 1
-        if expected_count is None:
-            expected_count = (len(buf) - pos) * 8 // width
         ids, _ = unpack_bits(buf, width, expected_count, pos)
         ids = ids.view(I64)
     else:

@@ -48,21 +48,27 @@ def read_stripe_footer(path: str) -> dict:
 
 def _maybe_satisfies(stats: dict, op: str, lit) -> bool:
     """Can any value in [min, max] satisfy `value <op> lit`? Missing stats →
-    conservatively True."""
+    conservatively True. Footer stats for timestamp/date columns are stored
+    as ISO strings, so temporal predicates must use the ISO string form; a
+    type-mismatched literal (e.g. a datetime or int against string stats)
+    degrades to no-prune rather than raising inside the prune task."""
     lo, hi = stats.get("min"), stats.get("max")
     if lo is None or hi is None:
         return True
-    if op == "<":
-        return lo < lit
-    if op == "<=":
-        return lo <= lit
-    if op == ">":
-        return hi > lit
-    if op == ">=":
-        return hi >= lit
-    if op == "==":
-        return lo <= lit <= hi
-    return not (lo == hi == lit)  # !=
+    try:
+        if op == "<":
+            return lo < lit
+        if op == "<=":
+            return lo <= lit
+        if op == ">":
+            return hi > lit
+        if op == ">=":
+            return hi >= lit
+        if op == "==":
+            return lo <= lit <= hi
+        return not (lo == hi == lit)  # !=
+    except TypeError:
+        return True  # incomparable literal → conservative no-prune
 
 
 def _prune_one(path: str, predicate: tuple) -> bool:

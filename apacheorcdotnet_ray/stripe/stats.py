@@ -46,9 +46,16 @@ def column_stats(arr: pa.ChunkedArray | pa.Array) -> dict:
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
         stats["sum"] = pc.sum(pc.binary_length(arr)).as_py()
     elif pa.types.is_decimal(t):
+        import math
+
         mm = pc.min_max(arr)
-        stats["min"] = float(mm["min"].as_py())
-        stats["max"] = float(mm["max"].as_py())
+        # float() rounds to nearest, which for >15-digit decimals can push
+        # the stored min ABOVE the true min (or max below true max) and make
+        # predicate pushdown silently prune a matching stripe — widen each
+        # bound by one ULP outward so the footer range always contains the
+        # true range
+        stats["min"] = math.nextafter(float(mm["min"].as_py()), -math.inf)
+        stats["max"] = math.nextafter(float(mm["max"].as_py()), math.inf)
     elif pa.types.is_timestamp(t) or pa.types.is_date(t):
         mm = pc.min_max(arr)
         stats["min"] = str(mm["min"].as_py())

@@ -92,3 +92,22 @@ def test_varint_single_byte_values():
     enc = varint.encode(vals, True)
     assert len(enc) == 64
     assert np.array_equal(varint.decode(enc, 64, True), vals)
+
+
+def test_intdict_padding_not_decoded_as_values():
+    # 97 two-valued entries at width 1: the mode-1 bitpack pads to a byte
+    # boundary; the embedded count must stop decode at exactly 97 values
+    v = np.tile(np.array([5, 9], dtype=np.int64), 49)[:97]
+    # force mode 1 by making ids high-entropy enough? width-1 flat pack wins
+    enc = intdict.encode(v)
+    out = intdict.decode(enc)  # no expected_count
+    assert len(out) == 97
+    assert np.array_equal(out, v)
+
+
+def test_intdict_count_mismatch_raises():
+    v = np.array([1, 2, 3, 1, 2, 3], dtype=np.int64)
+    enc = intdict.encode(v)
+    import pytest
+    with pytest.raises(ValueError):
+        intdict.decode(enc, expected_count=5)

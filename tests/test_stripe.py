@@ -221,3 +221,33 @@ def test_adversarial_schemas():
             buf, _ = encode_stripe(t, EncodeConfig(compression=comp))
             dec = decode_stripe(buf)
             pd.testing.assert_frame_equal(dec.to_pandas(), t.to_pandas()), (name, comp)
+
+
+def test_decimal_stats_widened_conservatively():
+    from decimal import Decimal
+
+    import pyarrow.compute as _pc
+
+    from apacheorcdotnet_ray.stripe.stats import column_stats
+
+    # 18-digit decimals where float() rounding could land above the true min
+    vals = [Decimal("123456789012345.678"), Decimal("123456789012345.679")]
+    arr = pa.array(vals, type=pa.decimal128(18, 3))
+    st = column_stats(arr)
+    assert st["min"] <= float(vals[0])
+    assert st["max"] >= float(vals[1])
+    assert st["min"] < st["max"] or st["min"] <= float(vals[0])
+
+
+def test_prune_incomparable_literal_no_crash():
+    import datetime
+
+    from apacheorcdotnet_ray.sources.stripes import _maybe_satisfies
+
+    # timestamp stats are ISO strings; a datetime literal must degrade to
+    # conservative no-prune instead of raising TypeError
+    stats = {"min": "2024-01-01 00:00:00", "max": "2024-06-01 00:00:00"}
+    assert _maybe_satisfies(stats, ">", datetime.datetime(2024, 3, 1)) is True
+    assert _maybe_satisfies(stats, "==", 12345) is True
+    # comparable ISO-string literal still prunes
+    assert _maybe_satisfies(stats, ">", "2024-07-01 00:00:00") is False
