@@ -123,6 +123,96 @@ def _predicate_scan(sf_dir: str):
     )
 
 
+def _predicate_scan_stride(sf_dir: str):
+    """Per-stride ROW_INDEX pushdown: stripes encode with row_index_stride
+    so the predicate decompresses only qualifying 10k-row strides inside
+    each surviving stripe (ColumnWriterStatistics.cs:12-33 analog)."""
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus
+    from apacheorcdotnet_ray.stripe import EncodeConfig
+
+    out = _out_dir(sf_dir, "rt-lineitem-stride")
+    encode_corpus([_table_path(sf_dir, "lineitem")], out,
+                  config=EncodeConfig(row_index_stride=10_000))
+    return decode_dataset(
+        out, columns=["l_orderkey", "l_partkey", "l_quantity"],
+        predicate=("l_orderkey", "<=", 5000),
+    )
+
+
+def _roundtrip_structs(sf_dir: str):
+    """Struct column round-trip: pack events columns into a (nested) struct,
+    encode to stripes, decode, unpack back to flat columns."""
+    import shutil
+
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    def pack(batch: pa.Table) -> pa.Table:
+        rec = pa.StructArray.from_arrays(
+            [batch.column("user_id").combine_chunks(),
+             batch.column("event_type").combine_chunks(),
+             batch.column("value").combine_chunks()],
+            names=["user_id", "event_type", "value"])
+        return pa.table({"event_id": batch.column("event_id"), "rec": rec})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        rec = batch.column("rec").combine_chunks()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": rec.field("user_id"),
+            "event_type": rec.field("event_type"),
+            "value": rec.field("value"),
+        })
+
+    out = _out_dir(sf_dir, "rt-structs")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        ds = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type", "value"]) \
+            .map_batches(pack, batch_format="pyarrow")
+        encode_dataset(ds, out, batch_size=50_000).materialize()
+        open(os.path.join(out, "_done"), "w").close()
+    return decode_dataset(out).map_batches(unpack, batch_format="pyarrow")
+
+
+def _roundtrip_decimal38(sf_dir: str):
+    """decimal(38,10) two-lane varint round-trip: mantissas pushed beyond 64
+    bits so the DATA+SECONDARY path is exercised on real keys."""
+    import shutil
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    def widen(batch: pa.Table) -> pa.Table:
+        big = pc.multiply(
+            pc.add(batch.column("o_orderkey"), 1).cast(pa.decimal128(19, 0)),
+            pa.scalar(Decimal("10000000000000"), type=pa.decimal128(14, 0)),
+        ).cast(pa.decimal128(38, 10))
+        return pa.table({"o_orderkey": batch.column("o_orderkey"), "big": big})
+
+    out = _out_dir(sf_dir, "rt-decimal38")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        ds = _read(sf_dir, "orders", columns=["o_orderkey"]) \
+            .map_batches(widen, batch_format="pyarrow")
+        encode_dataset(ds, out, batch_size=100_000).materialize()
+        open(os.path.join(out, "_done"), "w").close()
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        # DuckDB's pandas bridge renders DECIMAL(38,10) as lossy float64, so
+        # the oracle comparison runs on the exact string form instead
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "big": batch.column("big").cast(pa.string()),
+        })
+
+    return decode_dataset(out).map_batches(stringify, batch_format="pyarrow")
+
+
 def _tokenize_roundtrip(sf_dir: str):
     from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
     from apacheorcdotnet_ray.pipelines.text import tokenize_documents
@@ -209,7 +299,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_documents": roundtrip("documents"),
         "roundtrip_embeddings": roundtrip("embeddings"),
         "roundtrip_orders_zstd": lambda sf_dir: _roundtrip(sf_dir, "orders", "zstd"),
+        "roundtrip_structs": _roundtrip_structs,
+        "roundtrip_decimal38": _roundtrip_decimal38,
         "predicate_scan": _predicate_scan,
+        "predicate_scan_stride": _predicate_scan_stride,
         "tokenize_roundtrip": _tokenize_roundtrip,
         "grouped_encode_roundtrip": _grouped_roundtrip,
         # --- statistics (partial+final aggregation tree) ---
@@ -322,6 +415,17 @@ def oracle_sql() -> dict[str, str]:
         "predicate_scan": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
             " WHERE l_orderkey <= 5000"
+        ),
+        "predicate_scan_stride": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+            " WHERE l_orderkey <= 5000"
+        ),
+        "roundtrip_structs": (
+            "SELECT event_id, user_id, event_type, value FROM events"
+        ),
+        "roundtrip_decimal38": (
+            "SELECT o_orderkey, CAST(CAST((CAST(o_orderkey AS HUGEINT) + 1)"
+            " * 10000000000000 AS DECIMAL(38,10)) AS VARCHAR) AS big FROM orders"
         ),
         "tokenize_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"

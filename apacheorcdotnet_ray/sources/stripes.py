@@ -46,29 +46,10 @@ def read_stripe_footer(path: str) -> dict:
         return json.loads(zlib.decompress(f.read(footer_len)))
 
 
-def _maybe_satisfies(stats: dict, op: str, lit) -> bool:
-    """Can any value in [min, max] satisfy `value <op> lit`? Missing stats →
-    conservatively True. Footer stats for timestamp/date columns are stored
-    as ISO strings, so temporal predicates must use the ISO string form; a
-    type-mismatched literal (e.g. a datetime or int against string stats)
-    degrades to no-prune rather than raising inside the prune task."""
-    lo, hi = stats.get("min"), stats.get("max")
-    if lo is None or hi is None:
-        return True
-    try:
-        if op == "<":
-            return lo < lit
-        if op == "<=":
-            return lo <= lit
-        if op == ">":
-            return hi > lit
-        if op == ">=":
-            return hi >= lit
-        if op == "==":
-            return lo <= lit <= hi
-        return not (lo == hi == lit)  # !=
-    except TypeError:
-        return True  # incomparable literal → conservative no-prune
+# Footer stats for timestamp/date columns are stored as ISO strings, so
+# temporal predicates must use the ISO string form; a type-mismatched
+# literal degrades to no-prune rather than raising inside the prune task.
+from ..stripe.stats import maybe_satisfies as _maybe_satisfies
 
 
 def _prune_one(path: str, predicate: tuple) -> bool:
@@ -117,7 +98,9 @@ def read_stripes(
     if predicate is not None and columns is not None and predicate[0] not in columns:
         read_cols = list(columns) + [predicate[0]]
     ds = rd.read_binary_files(paths)
-    decoder = StripeDecoder(columns=read_cols)  # stateless → plain-function task pool
+    # stateless → plain-function task pool; the predicate additionally skips
+    # non-qualifying strides inside row-indexed stripes (ROW_INDEX analog)
+    decoder = StripeDecoder(columns=read_cols, predicate=predicate)
     ds = ds.map_batches(
         decoder.__call__,
         batch_format="pyarrow",

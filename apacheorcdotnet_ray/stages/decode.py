@@ -14,8 +14,12 @@ from ..stripe.container import decode_stripe
 
 
 class StripeDecoder:
-    def __init__(self, columns: list[str] | None = None):
+    def __init__(self, columns: list[str] | None = None,
+                 predicate: tuple | None = None):
         self.columns = columns
+        # (col, op, lit): on row-indexed stripes, skips non-qualifying
+        # strides before decompression; caller still applies the exact filter
+        self.predicate = predicate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "bytes" in batch.column_names:
@@ -25,7 +29,8 @@ class StripeDecoder:
             for p in batch.column("path").to_pylist():
                 with open(p, "rb") as f:
                     blobs.append(f.read())
-        tables = [decode_stripe(b, columns=self.columns) for b in blobs]
+        tables = [decode_stripe(b, columns=self.columns, predicate=self.predicate)
+                  for b in blobs]
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables)

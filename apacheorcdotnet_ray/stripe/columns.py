@@ -33,6 +33,7 @@ DATA = "DATA"
 LENGTH = "LENGTH"
 DICT_DATA = "DICT_DATA"
 DICT_LENGTH = "DICT_LENGTH"
+SECONDARY = "SECONDARY"
 
 
 @dataclass
@@ -152,19 +153,29 @@ def _encode_values(name: str, valid: pa.Array, config: EncodeConfig,
         return codec
 
     if pa.types.is_decimal(t):
-        # decimal128 with mantissa in int64 range (precision <= 18, like the
-        # reference, ColumnTypes/DecimalWriter.cs:30-31): zigzag-varint DATA
-        # stream; Arrow's scale is per-type, so no SECONDARY stream needed
+        if not pa.types.is_decimal128(t):
+            raise NotImplementedError(
+                f"decimal column {name}: only decimal128 (precision<=38) is supported")
+        # decimal128 mantissas: the common case (precision <= 18, like the
+        # reference, ColumnTypes/DecimalWriter.cs:30-31) fits int64 and takes
+        # a single zigzag-varint DATA stream; wider mantissas (precision up
+        # to 38) split into low-64 (unsigned varint DATA) + high-64 (zigzag
+        # varint SECONDARY) lanes — the analog of the reference reader's
+        # BigInteger varint path (Encodings/BitManipulation.cs:313-425).
+        # Arrow's scale is per-type, so no scale stream is needed.
         lanes = np.frombuffer(
             valid.buffers()[1], dtype=np.int64, count=2 * nv, offset=valid.offset * 16
         )
         lo, hi = lanes[0::2], lanes[1::2]
-        if not (hi == (lo >> 63)).all():
-            raise NotImplementedError(
-                f"decimal column {name} has mantissas beyond 64 bits (precision>18)")
-        streams.append(Stream(name, DATA, "varint", varint.encode(lo, True), nv,
+        if (hi == (lo >> 63)).all():
+            streams.append(Stream(name, DATA, "varint", varint.encode(lo, True), nv,
+                                  {"signed": True}))
+            return "varint"
+        streams.append(Stream(name, DATA, "varint", varint.encode(lo, False), nv,
+                              {"signed": False}))
+        streams.append(Stream(name, SECONDARY, "varint", varint.encode(hi, True), nv,
                               {"signed": True}))
-        return "varint"
+        return "varint2"
 
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
         # date32 has no direct int64 cast; bridge through its storage width
@@ -197,6 +208,21 @@ def _encode_values(name: str, valid: pa.Array, config: EncodeConfig,
         child_enc, child_streams, _ = encode_column(f"{name}.item", child, config, fsst_tables)
         streams.extend(child_streams)
         return f"list[{child_enc}]"
+
+    if pa.types.is_struct(t):
+        # struct: no DATA stream of its own (nulls already peeled into the
+        # struct-level PRESENT stream); each child field encodes recursively
+        # under the dotted path "name.field" — the reference's (root-only)
+        # StructWriter shape (ColumnTypes/StructWriter.cs:33-41), generalized
+        # to arbitrary nesting because paths compose.
+        child_names = []
+        for i in range(t.num_fields):
+            f_ = t.field(i)
+            child_enc, child_streams, _ = encode_column(
+                f"{name}.{f_.name}", valid.field(i), config, fsst_tables)
+            streams.extend(child_streams)
+            child_names.append(child_enc)
+        return f"struct[{','.join(child_names)}]"
 
     raise NotImplementedError(f"unsupported Arrow type for column {name}: {t}")
 
@@ -310,9 +336,14 @@ def _decode_values(name: str, t: pa.DataType, by_kind: dict, child_streams: list
         return pa.array(vals, type=pa.int64()).cast(t)
 
     if pa.types.is_decimal(t):
-        lo = varint.decode(by_kind[DATA].data, nv, True)
+        if SECONDARY in by_kind:  # two-lane path: precision > 18
+            lo = varint.decode(by_kind[DATA].data, nv, False)
+            hi = varint.decode(by_kind[SECONDARY].data, nv, True)
+        else:
+            lo = varint.decode(by_kind[DATA].data, nv, True)
+            hi = lo >> 63
         lanes = np.empty(2 * nv, dtype=np.int64)
-        lanes[0::2], lanes[1::2] = lo, lo >> 63
+        lanes[0::2], lanes[1::2] = lo, hi
         return pa.Array.from_buffers(t, nv, [None, pa.py_buffer(lanes.tobytes())])
 
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
@@ -341,6 +372,17 @@ def _decode_values(name: str, t: pa.DataType, by_kind: dict, child_streams: list
             np.int64 if pa.types.is_large_list(t) else np.int32)
         cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
         return cls.from_arrays(pa.array(offsets), child)
+
+    if pa.types.is_struct(t):
+        children = []
+        for i in range(t.num_fields):
+            f_ = t.field(i)
+            path = f"{name}.{f_.name}"
+            mine = [s for s in child_streams
+                    if s.col == path or s.col.startswith(path + ".")]
+            children.append(decode_column(pa.field(path, f_.type), mine, nv))
+        return pa.StructArray.from_arrays(
+            children, fields=[t.field(i) for i in range(t.num_fields)])
 
     raise NotImplementedError(f"unsupported Arrow type for decode: {t}")
 

@@ -24,6 +24,14 @@ class EncodeConfig:
     enable_fsst: bool = True
     intdict_max_card_ratio: float = 0.5  # try intdict only if sample uniq ratio below
 
+    # row index: when set, every column encodes in independent `stride`-row
+    # segments with per-stride min/max stats in the footer (the reference's
+    # ROW_INDEX / position-annotation analog, ColumnTypes/
+    # ColumnWriterStatistics.cs:12-33 + OrcCompressedBuffer.cs:66-72):
+    # predicate reads decompress only qualifying strides within a surviving
+    # stripe instead of every stream. None = single-segment streams.
+    row_index_stride: int | None = None
+
     # stripe sizing: encode tasks get one Arrow batch per stripe; these bound
     # how pipelines pick map_batches(batch_size=...) for list-heavy schemas
     target_stripe_values: int = 4_000_000   # flattened values (e.g. tokens) per stripe

@@ -27,12 +27,14 @@ import pyarrow as pa
 from .columns import Stream, decode_column, encode_column
 from .config import EncodeConfig
 from .framing import compress, decompress
+from .stats import maybe_satisfies, merge_stats
 
 MAGIC = b"ORAY1"
 TAIL_MAGIC = b"ORAY"
 # bump when any codec's internal layout changes incompatibly (readers check
 # the footer's version; scratch caches key on it)
-FORMAT_VERSION = 2
+# v3: intdict streams embed their value count; strided (row-index) stripes
+FORMAT_VERSION = 3
 
 
 def encode_stripe(
@@ -47,10 +49,8 @@ def encode_stripe(
     out = bytearray(MAGIC)
     stream_dir = []
     columns_meta = []
-    for name in table.column_names:
-        col = table.column(name)
-        enc_name, streams, stats = encode_column(name, col, config, fsst_tables)
-        columns_meta.append({"name": name, "encoding": enc_name, "stats": stats})
+
+    def emit(streams: list[Stream], stride_idx: int | None) -> None:
         for s in streams:
             if config.compression == "zlib":
                 payload = compress(s.data, config.compression_block_size, config.zlib_level)
@@ -59,19 +59,51 @@ def encode_stripe(
                                    config.zstd_level, codec="zstd")
             else:
                 payload = s.data
-            stream_dir.append(
-                {
-                    "col": s.col,
-                    "kind": s.kind,
-                    "codec": s.codec,
-                    "params": s.params,
-                    "offset": len(out),
-                    "length": len(payload),
-                    "raw_length": len(s.data),
-                    "n": s.n,
-                }
-            )
+            entry = {
+                "col": s.col,
+                "kind": s.kind,
+                "codec": s.codec,
+                "params": s.params,
+                "offset": len(out),
+                "length": len(payload),
+                "raw_length": len(s.data),
+                "n": s.n,
+            }
+            if stride_idx is not None:
+                entry["stride"] = stride_idx
+            stream_dir.append(entry)
             out.extend(payload)
+
+    stride = config.row_index_stride
+    if stride:
+        # ROW_INDEX mode: every column encodes in independent stride-row
+        # segments (each its own codec selection + compression framing), so a
+        # predicate read can decompress only qualifying strides. The footer
+        # keeps per-stride stats per column; file-level stats are the merge.
+        n = table.num_rows
+        bounds = list(range(0, n, stride)) + [n]
+        stride_rows = [bounds[i + 1] - bounds[i] for i in range(len(bounds) - 1)]
+        for name in table.column_names:
+            col = table.column(name)
+            row_index = []
+            enc_name = None
+            for si in range(len(stride_rows)):
+                sl = col.slice(bounds[si], stride_rows[si])
+                enc_name, streams, st = encode_column(name, sl, config, fsst_tables)
+                row_index.append(st)
+                emit(streams, si)
+            stats = None
+            for st in row_index:
+                stats = merge_stats(stats, st)
+            columns_meta.append({"name": name, "encoding": enc_name,
+                                 "stats": stats or {}, "row_index": row_index})
+    else:
+        stride_rows = None
+        for name in table.column_names:
+            col = table.column(name)
+            enc_name, streams, stats = encode_column(name, col, config, fsst_tables)
+            columns_meta.append({"name": name, "encoding": enc_name, "stats": stats})
+            emit(streams, None)
 
     footer = {
         "version": FORMAT_VERSION,
@@ -82,6 +114,9 @@ def encode_stripe(
         "streams": stream_dir,
         "data_length": len(out),
     }
+    if stride:
+        footer["row_index_stride"] = stride
+        footer["stride_rows"] = stride_rows
     if lineage:
         footer["lineage"] = lineage
     footer_bytes = zlib.compress(json.dumps(footer).encode(), 1)
@@ -100,12 +135,34 @@ def read_footer(buf: bytes) -> dict:
     return json.loads(zlib.decompress(footer_bytes))
 
 
-def decode_stripe(buf: bytes, columns: list[str] | None = None) -> pa.Table:
+def qualifying_strides(footer: dict, predicate: tuple) -> list[int]:
+    """Stride indexes whose per-stride [min, max] could satisfy (col, op,
+    lit). Columns without a row index qualify every stride (conservative)."""
+    n_strides = len(footer.get("stride_rows", []))
+    col, op, lit = predicate
+    meta = next((c for c in footer["columns"] if c["name"] == col), None)
+    ri = (meta or {}).get("row_index")
+    if not ri:
+        return list(range(n_strides))
+    return [i for i, st in enumerate(ri) if maybe_satisfies(st, op, lit)]
+
+
+def decode_stripe(
+    buf: bytes,
+    columns: list[str] | None = None,
+    predicate: tuple | None = None,
+    io_stats: dict | None = None,
+) -> pa.Table:
     """Decode container bytes back to an Arrow table (optionally projected).
 
     Column pruning here is the analog of ORC's per-stream reads
     (Stripes/StripeStreamReader.cs:33-39): untouched columns' segments are
-    never decompressed.
+    never decompressed. On stripes written with ``row_index_stride``, a
+    ``predicate`` (col, op, lit) additionally skips whole strides whose
+    footer row-index range excludes it — the ROW_INDEX seek analog
+    (ColumnWriterStatistics.cs:12-33); the result still needs the exact
+    row filter applied by the caller. ``io_stats``, when passed, is filled
+    with {bytes_read, bytes_decompressed, strides_total, strides_read}.
     """
     footer = read_footer(buf)
     if footer.get("version", 1) != FORMAT_VERSION:
@@ -117,19 +174,55 @@ def decode_stripe(buf: bytes, columns: list[str] | None = None) -> pa.Table:
     codec = footer.get("compression")
     framed = codec in ("zlib", "zstd")
 
+    if io_stats is not None:
+        io_stats.setdefault("bytes_read", 0)
+        io_stats.setdefault("bytes_decompressed", 0)
+
+    def make_stream(meta: dict) -> Stream:
+        payload = buf[meta["offset"] : meta["offset"] + meta["length"]]
+        data = decompress(payload, codec) if framed else payload
+        if io_stats is not None:
+            io_stats["bytes_read"] += meta["length"]
+            io_stats["bytes_decompressed"] += meta["raw_length"]
+        return Stream(meta["col"], meta["kind"], meta["codec"], data, meta["n"],
+                      meta["params"])
+
+    def col_metas(name: str) -> list[dict]:
+        return [m for m in footer["streams"]
+                if m["col"] == name or m["col"].startswith(name + ".")]
+
+    stride_rows = footer.get("stride_rows")
+    if stride_rows is not None:
+        sel = (qualifying_strides(footer, predicate) if predicate is not None
+               else list(range(len(stride_rows))))
+        if io_stats is not None:
+            io_stats["strides_total"] = len(stride_rows)
+            io_stats["strides_read"] = len(sel)
+        cols = {}
+        fields = []
+        for field_ in schema:
+            if columns is not None and field_.name not in columns:
+                continue
+            metas = col_metas(field_.name)
+            by_stride: dict[int, list[dict]] = {}
+            for m in metas:
+                by_stride.setdefault(m["stride"], []).append(m)
+            chunks = [
+                decode_column(field_, [make_stream(m) for m in by_stride.get(si, [])],
+                              stride_rows[si])
+                for si in sel
+            ]
+            cols[field_.name] = pa.chunked_array(chunks, type=field_.type) \
+                if chunks else pa.chunked_array([], type=field_.type)
+            fields.append(field_)
+        return pa.table(cols, schema=pa.schema(fields))
+
     arrays = []
     fields = []
     for field_ in schema:
         if columns is not None and field_.name not in columns:
             continue
-        streams = []
-        for meta in footer["streams"]:
-            if meta["col"] == field_.name or meta["col"].startswith(field_.name + "."):
-                payload = buf[meta["offset"] : meta["offset"] + meta["length"]]
-                data = decompress(payload, codec) if framed else payload
-                streams.append(
-                    Stream(meta["col"], meta["kind"], meta["codec"], data, meta["n"], meta["params"])
-                )
+        streams = [make_stream(m) for m in col_metas(field_.name)]
         arrays.append(decode_column(field_, streams, n_rows))
         fields.append(field_)
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

@@ -69,6 +69,29 @@ def column_stats(arr: pa.ChunkedArray | pa.Array) -> dict:
     return stats
 
 
+def maybe_satisfies(stats: dict, op: str, lit) -> bool:
+    """Can any value in [min, max] satisfy ``value <op> lit``? Missing stats
+    or an incomparable literal (e.g. datetime vs ISO-string temporal stats)
+    degrade to conservative True (no pruning)."""
+    lo, hi = stats.get("min"), stats.get("max")
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "<":
+            return lo < lit
+        if op == "<=":
+            return lo <= lit
+        if op == ">":
+            return hi > lit
+        if op == ">=":
+            return hi >= lit
+        if op == "==":
+            return lo <= lit <= hi
+        return not (lo == hi == lit)  # !=
+    except TypeError:
+        return True
+
+
 def merge_stats(a: dict | None, b: dict | None) -> dict:
     """Associative merge of two partial stats dicts (stripe → file roll-up)."""
     if a is None:

@@ -251,3 +251,70 @@ def test_prune_incomparable_literal_no_crash():
     assert _maybe_satisfies(stats, "==", 12345) is True
     # comparable ISO-string literal still prunes
     assert _maybe_satisfies(stats, ">", "2024-07-01 00:00:00") is False
+
+
+def test_struct_column_roundtrip():
+    # recursive field streams under dotted paths (reference StructWriter.cs:33-41)
+    t = pa.table({
+        "id": pa.array(np.arange(500, dtype=np.int64)),
+        "rec": pa.array(
+            [None if i % 5 == 0 else
+             {"a": None if i % 3 == 0 else i,
+              "b": f"s{i % 7}",
+              "inner": {"x": float(i)}}
+             for i in range(500)],
+            type=pa.struct([("a", pa.int64()), ("b", pa.string()),
+                            ("inner", pa.struct([("x", pa.float64())]))])),
+    })
+    roundtrip_table(t)
+    # projection decodes only the struct's streams
+    buf, _ = encode_stripe(t)
+    out = decode_stripe(buf, columns=["rec"])
+    assert out.column("rec").equals(t.column("rec"))
+
+
+def test_decimal38_two_lane_roundtrip():
+    from decimal import Decimal
+
+    base = Decimal("1234567890123456789012345.6789012345")
+    vals = [None if i % 11 == 0 else (base + i) * (1 if i % 2 else -1)
+            for i in range(1000)]
+    t = pa.table({"big": pa.array(vals, type=pa.decimal128(38, 10))})
+    buf, footer = encode_stripe(t)
+    assert footer["columns"][0]["encoding"] == "varint2"
+    assert decode_stripe(buf).equals(t)
+
+
+def test_row_index_stride_prunes_bytes():
+    rng = np.random.default_rng(9)
+    n = 40_000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.normal(size=n)),
+        "s": pa.array([f"w{int(x)}" for x in rng.integers(0, 50, n)]),
+        "nul": pa.array([None if i % 7 == 0 else i for i in range(n)],
+                        type=pa.int64()),
+    })
+    buf, footer = encode_stripe(t, EncodeConfig(row_index_stride=4000))
+    assert len(footer["stride_rows"]) == 10
+    assert len(footer["columns"][0]["row_index"]) == 10
+    # full decode round-trips exactly
+    assert decode_stripe(buf).combine_chunks().equals(t)
+    # predicate decode touches only qualifying strides and decompresses
+    # measurably fewer bytes than a full stripe decode
+    io_part, io_full = {}, {}
+    part = decode_stripe(buf, predicate=("k", ">=", 35_000), io_stats=io_part)
+    decode_stripe(buf, io_stats=io_full)
+    assert io_part["strides_read"] == 2 and io_part["strides_total"] == 10
+    assert io_part["bytes_decompressed"] < io_full["bytes_decompressed"] / 3
+    import pyarrow.compute as pc
+    expect = t.filter(pc.greater_equal(t.column("k"), 35_000))
+    got = part.filter(pc.greater_equal(part.column("k"), 35_000))
+    assert got.combine_chunks().equals(expect.combine_chunks())
+
+
+def test_row_index_stride_empty_selection():
+    t = pa.table({"k": pa.array(np.arange(100, dtype=np.int64))})
+    buf, _ = encode_stripe(t, EncodeConfig(row_index_stride=10))
+    out = decode_stripe(buf, predicate=("k", ">", 10_000))
+    assert out.num_rows == 0 and out.schema == t.schema
