@@ -28,9 +28,11 @@ def _table_path(sf_dir: str, table: str) -> str:
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    # strips the pandas schema-metadata blob (unhashable → would defeat
+    # Ray's block-schema dedup and spam warnings)
+    from apacheorcdotnet_ray.sources.parquet import read_parquet_clean
 
-    return rd.read_parquet(_table_path(sf_dir, table), columns=columns)
+    return read_parquet_clean(_table_path(sf_dir, table), columns=columns)
 
 
 def _out_dir(sf_dir: str, tag: str) -> str:

@@ -130,7 +130,9 @@ def ivf_search(
     buckets = sorted({int(b) for row in probe for b in row})
     paths = [p for b in buckets
              for p in glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))]
-    ds = rd.read_parquet(paths, columns=[id_col, emb_col])
+    from ..sources.parquet import read_parquet_clean
+
+    ds = read_parquet_clean(paths, columns=[id_col, emb_col])
     return brute_force_topk(ds, q, k, id_col=id_col, emb_col=emb_col)
 
 

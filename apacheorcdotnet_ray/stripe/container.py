@@ -46,6 +46,10 @@ def encode_stripe(
     ``fsst_tables``: optional per-actor symbol-table cache shared across
     stripes of the same source (see encode_column)."""
     config = config or EncodeConfig()
+    if table.schema.metadata is not None or any(f.metadata for f in table.schema):
+        # schemas with metadata are unhashable (breaks Ray's block-schema
+        # dedup downstream of decode) and bloat every footer — normalize
+        table = table.cast(pa.schema([f.remove_metadata() for f in table.schema]))
     out = bytearray(MAGIC)
     stream_dir = []
     columns_meta = []

@@ -66,7 +66,9 @@ def run_bench() -> dict:
     # warm the page cache AND the worker pool (package import happens on the
     # first task a worker runs) so we measure steady-state compute+shuffle,
     # not first disk read / cold process start
-    rd.read_parquet(corpus).count()
+    from apacheorcdotnet_ray.sources.parquet import read_parquet_clean
+
+    read_parquet_clean(corpus).count()
     warm_dir = "/tmp/oray_bench_warmup"
     shutil.rmtree(warm_dir, ignore_errors=True)
     encode_corpus(corpus, warm_dir)
@@ -85,7 +87,7 @@ def run_bench() -> dict:
 
     # --- decode + verify ---
     t0 = time.perf_counter()
-    res = verify_roundtrip(rd.read_parquet(corpus), decode_dataset(out))
+    res = verify_roundtrip(read_parquet_clean(corpus), decode_dataset(out))
     t_decode = time.perf_counter() - t0
     queries["decode_verify_tokens"] = t_decode
     assert res["content_match"], res
@@ -102,10 +104,10 @@ def run_bench() -> dict:
         encode_corpus([os.path.join(SF_DIR, "lineitem.parquet")], lineitem_out),
         decode_dataset(lineitem_out).count(),
     ))
-    docs_ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs_ds = read_parquet_clean(os.path.join(SF_DIR, "documents.parquet"))
     timed("token_count_by_source", lambda: text.token_count_by_source(docs_ds).to_pandas())
     timed("dedup_minhash", lambda: dedup.dedup_minhash_lsh(docs_ds).to_pandas())
-    emb_ds = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb_ds = read_parquet_clean(os.path.join(SF_DIR, "embeddings.parquet"))
 
     def _ann():
         import numpy as np
