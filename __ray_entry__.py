@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal (stubbed codec, real actor-pool plumbing) ---
         "media_features": _media_features,
         "media_frame_sample": _media_frame_sample,
+        "audio_features": _audio_features,
     }
 
 
@@ -388,8 +389,17 @@ def _media_features(sf_dir: str):
     from apacheorcdotnet_ray.pipelines import multimodal as mm
 
     base = _read(sf_dir, "documents", columns=["doc_id"])
-    return mm.extract_features(mm.decode_media(mm.synthesize_media(base))) \
+    # fmt="mixed": per-id rotation over synthetic / PPM / BMP payloads — the
+    # PPM+BMP legs decode REAL byte formats (pure-NumPy parsers)
+    return mm.extract_features(mm.decode_media(mm.synthesize_media(base, fmt="mixed"))) \
         .select_columns(["media_id", "mean_pixel", "std_pixel"])
+
+
+def _audio_features(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines import multimodal as mm
+
+    base = _read(sf_dir, "documents", columns=["doc_id"])
+    return mm.audio_features(mm.decode_audio(mm.synthesize_audio(base)))
 
 
 def _media_frame_sample(sf_dir: str):

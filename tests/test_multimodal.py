@@ -68,3 +68,59 @@ def test_frame_sampling(media_ds):
         orig = src.loc[row["media_id"], "n_frames"]
         expect = -(-orig // 2) if orig > 1 else orig  # ceil div for videos
         assert row["n_frames"] == expect
+
+
+def test_media_codecs_roundtrip():
+    import numpy as np
+
+    from apacheorcdotnet_ray.codecs import media as mcodec
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)  # odd width → BMP padding
+    assert np.array_equal(mcodec.decode_ppm(mcodec.encode_ppm(img)), img)
+    assert np.array_equal(mcodec.decode_bmp(mcodec.encode_bmp(img)), img)
+    # PPM comment + whitespace handling
+    ppm = b"P6\n# a comment\n17  13\n255\n" + img.tobytes()
+    assert np.array_equal(mcodec.decode_ppm(ppm), img)
+    s = rng.integers(-32768, 32767, size=1000, dtype=np.int16)
+    dec, rate = mcodec.decode_wav(mcodec.encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(dec[:, 0], s)
+    stereo = rng.integers(-32768, 32767, size=(500, 2), dtype=np.int16)
+    dec2, _ = mcodec.decode_wav(mcodec.encode_wav(stereo))
+    assert np.array_equal(dec2, stereo)
+
+
+def test_real_format_decode_pipeline(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.codecs import media as mcodec
+    from apacheorcdotnet_ray.pipelines import multimodal as mm
+
+    base = rd.from_items([{"doc_id": i} for i in range(60)])
+    # mixed formats exercise the magic-byte dispatch in one pipeline
+    feats = mm.extract_features(mm.decode_media(mm.synthesize_media(base, fmt="mixed")))
+    df = feats.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(df) == 60
+    # cross-check one PPM item end-to-end against the codec directly
+    i = 1  # ids % 3 == 1 → ppm
+    w, h = 16 + (i % 3) * 8, 16 + (i % 5) * 4
+    img = mcodec.decode_ppm(mm._payload(i, w, h, 1, fmt="ppm"))
+    gray = mcodec.rgb_to_gray(img).astype(np.float64)
+    assert abs(df["mean_pixel"][i] - gray.mean()) < 1e-9
+    assert abs(df["std_pixel"][i] - gray.std()) < 1e-9
+
+
+def test_audio_pipeline(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import multimodal as mm
+
+    base = rd.from_items([{"doc_id": i} for i in range(30)])
+    feats = mm.audio_features(mm.decode_audio(mm.synthesize_audio(base)))
+    df = feats.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(df) == 30
+    assert (df["duration_s"] > 0.05).all() and (df["duration_s"] < 0.5).all()
+    assert (df["rms"] > 1000).all()          # sine at 0.6 FS
+    assert (df["zcr"] > 0).all() and (df["zcr"] < 0.5).all()
