@@ -76,16 +76,68 @@ def prune_stripes(paths: list[str], predicate: tuple) -> list[str]:
     return [p for p in paths if _prune_one(p, predicate)]
 
 
+def unified_schema(paths: list[str]) -> "pa.Schema":
+    """Union of all stripe footers' schemas, first-seen field order/types —
+    the read-side schema-evolution contract (reference RoundTrip_Test.cs:
+    40-62 reads with a narrower/wider row shape). Fans out as Ray tasks
+    above a few hundred files, like prune_stripes."""
+    import pyarrow as pa
+
+    if len(paths) > 256:
+        import ray
+
+        from ..stripe.container import footer_schema
+
+        @ray.remote(num_cpus=0.25)
+        def schemas(chunk: list[str]) -> list[bytes]:
+            return [footer_schema(read_stripe_footer(p)).serialize().to_pybytes()
+                    for p in chunk]
+
+        chunks = [paths[i : i + 64] for i in range(0, len(paths), 64)]
+        blobs = [b for sub in ray.get([schemas.remote(c) for c in chunks]) for b in sub]
+        schema_list = [pa.ipc.read_schema(pa.py_buffer(b)) for b in blobs]
+    else:
+        from ..stripe.container import footer_schema
+
+        schema_list = [footer_schema(read_stripe_footer(p)) for p in paths]
+    seen: dict[str, "pa.Field"] = {}
+    for s in schema_list:
+        for f in s:
+            if f.name not in seen:
+                seen[f.name] = f
+            elif seen[f.name].type != f.type:
+                # widen: let Arrow pick the common type (errors on
+                # genuinely incompatible evolution, which should be loud)
+                seen[f.name] = pa.field(
+                    f.name, pa.unify_schemas(
+                        [pa.schema([seen[f.name]]), pa.schema([f])],
+                        promote_options="permissive").field(f.name).type)
+    return pa.schema(list(seen.values()))
+
+
 def read_stripes(
     stripe_dir: str,
     columns: list[str] | None = None,
     predicate: tuple | None = None,
+    unify_schema: bool = False,
 ) -> rd.Dataset:
     """predicate: optional (column, op, literal); stripes whose footer stats
-    exclude it are never read, and surviving batches are filtered exactly."""
+    exclude it are never read, and surviving batches are filtered exactly.
+    unify_schema=True tolerates schema-evolved stripe sets: every batch
+    conforms to the union of all footers' schemas, with columns missing
+    from a stripe decoded as typed nulls."""
+    import pyarrow as pa  # noqa: F401  (type refs in helpers)
+
     paths = stripe_paths(stripe_dir)
     if not paths:
         raise FileNotFoundError(f"no .oray stripes under {stripe_dir}")
+    target_schema = unified_schema(paths) if unify_schema else None
+    if target_schema is not None and columns is not None:
+        keep = [c for c in columns if c in target_schema.names]
+        if predicate is not None and predicate[0] in target_schema.names \
+                and predicate[0] not in keep:
+            keep = keep + [predicate[0]]
+        target_schema = pa.schema([target_schema.field(c) for c in keep])
     if predicate is not None:
         if predicate[1] not in _OPS:
             raise ValueError(f"unsupported predicate op {predicate[1]}")
@@ -100,7 +152,8 @@ def read_stripes(
     ds = rd.read_binary_files(paths)
     # stateless → plain-function task pool; the predicate additionally skips
     # non-qualifying strides inside row-indexed stripes (ROW_INDEX analog)
-    decoder = StripeDecoder(columns=read_cols, predicate=predicate)
+    decoder = StripeDecoder(columns=read_cols, predicate=predicate,
+                            schema=target_schema)
     ds = ds.map_batches(
         decoder.__call__,
         batch_format="pyarrow",

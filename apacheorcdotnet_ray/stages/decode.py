@@ -15,11 +15,26 @@ from ..stripe.container import decode_stripe
 
 class StripeDecoder:
     def __init__(self, columns: list[str] | None = None,
-                 predicate: tuple | None = None):
+                 predicate: tuple | None = None,
+                 schema: pa.Schema | None = None):
         self.columns = columns
         # (col, op, lit): on row-indexed stripes, skips non-qualifying
         # strides before decompression; caller still applies the exact filter
         self.predicate = predicate
+        # target schema for schema-evolved stripe sets (the reference's
+        # missing-column tolerance, RoundTrip_Test.cs:40-62): columns absent
+        # from a stripe decode as typed nulls; present-but-narrower columns
+        # cast up. None = stripes are schema-homogeneous.
+        self.schema = schema
+
+    def _conform(self, table: pa.Table) -> pa.Table:
+        cols = {}
+        for f in self.schema:
+            if f.name in table.column_names:
+                cols[f.name] = table.column(f.name)
+            else:
+                cols[f.name] = pa.nulls(table.num_rows, f.type)
+        return pa.table(cols).cast(self.schema)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "bytes" in batch.column_names:
@@ -31,6 +46,8 @@ class StripeDecoder:
                     blobs.append(f.read())
         tables = [decode_stripe(b, columns=self.columns, predicate=self.predicate)
                   for b in blobs]
+        if self.schema is not None:
+            tables = [self._conform(t) for t in tables]
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables)

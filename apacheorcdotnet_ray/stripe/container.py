@@ -139,6 +139,11 @@ def read_footer(buf: bytes) -> dict:
     return json.loads(zlib.decompress(footer_bytes))
 
 
+def footer_schema(footer: dict) -> pa.Schema:
+    """Deserialize the Arrow schema embedded in a stripe footer."""
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema"])))
+
+
 def qualifying_strides(footer: dict, predicate: tuple) -> list[int]:
     """Stride indexes whose per-stride [min, max] could satisfy (col, op,
     lit). Columns without a row index qualify every stride (conservative)."""

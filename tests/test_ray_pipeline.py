@@ -379,3 +379,40 @@ def test_dup_clusters_and_canonical_filter(ray_session):
     }))
     kept = dedup.keep_canonical(corpus, dedup.dup_clusters(pairs)).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 5, 7]
+
+
+def test_schema_evolution_unify(ray_session, tmp_path):
+    """A stripe set whose files carry different schemas decodes with the
+    union schema: missing columns become typed nulls, narrower ints widen
+    (reference missing-column tolerance, RoundTrip_Test.cs:40-62)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset
+    from apacheorcdotnet_ray.stripe import encode_stripe
+
+    d = tmp_path / "evolved"
+    d.mkdir()
+    t1 = pa.table({"id": pa.array([1, 2, 3], type=pa.int64()),
+                   "a": pa.array(["x", "y", "z"])})
+    t2 = pa.table({"id": pa.array([4, 5], type=pa.int64()),
+                   "b": pa.array([1.5, 2.5], type=pa.float64())})
+    for name, t in [("s1", t1), ("s2", t2)]:
+        buf, _ = encode_stripe(t)
+        (d / f"{name}.oray").write_bytes(buf)
+
+    df = decode_dataset(str(d), unify_schema=True).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(df.columns) == ["id", "a", "b"]
+    assert df["a"].tolist()[:3] == ["x", "y", "z"] and df["a"].isna().tolist()[3:] == [True, True]
+    assert df["b"].isna().tolist() == [True, True, True, False, False]
+
+    # projection of an evolved column still works
+    df2 = decode_dataset(str(d), columns=["id", "b"], unify_schema=True) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df2.columns) == ["id", "b"]
+
+    # predicate over a column one stripe lacks: missing -> null -> filtered out
+    df3 = decode_dataset(str(d), predicate=("b", ">", 2.0), unify_schema=True) \
+        .to_pandas()
+    assert df3["id"].tolist() == [5]
