@@ -101,6 +101,35 @@ def _decode_int_data(stream: Stream) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# ORC timestamp fraction codec (TimestampWriter.cs RemoveZeros semantics)
+
+_ORC_EPOCH_S = 1_420_070_400  # 2015-01-01T00:00:00Z in unix seconds
+_UNIT_FACTOR = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+# scale s in the low 3 bits means scaled was multiplied back by this
+_NANO_MULT = np.array([1, 100, 10**3, 10**4, 10**5, 10**6, 10**7, 10**8],
+                      dtype=np.int64)
+
+
+def _encode_orc_nanos(nanos: np.ndarray) -> np.ndarray:
+    """(scaled << 3) | scale, scale = count of stripped decimal zeros - 1
+    (0 = none stripped), vectorized over the column."""
+    scaled = nanos.copy()
+    scale = np.zeros(len(nanos), dtype=np.int64)
+    done = np.zeros(len(nanos), dtype=bool)
+    for s in range(7, 0, -1):
+        div = _NANO_MULT[s]
+        m = ~done & (nanos % div == 0)
+        scaled[m] = nanos[m] // div
+        scale[m] = s
+        done |= m
+    return (scaled << 3) | scale
+
+
+def _decode_orc_nanos(frac: np.ndarray) -> np.ndarray:
+    return (frac >> 3) * _NANO_MULT[frac & 7]
+
+
+# ---------------------------------------------------------------------------
 # column encode
 
 
@@ -177,7 +206,25 @@ def _encode_values(name: str, valid: pa.Array, config: EncodeConfig,
                               {"signed": True}))
         return "varint2"
 
-    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+    if pa.types.is_timestamp(t):
+        # ORC-layout two-stream timestamps (TimestampWriter.cs:111-161):
+        # DATA = signed seconds since the ORC epoch (2015-01-01 UTC),
+        # SECONDARY = nanos with trailing decimal zeros stripped, encoded
+        # (scaled << 3) | zeros_removed. We use floor division so pre-2015
+        # values round-trip exactly (the C# writer truncates toward zero and
+        # abs()es the remainder, which is lossy there — deliberate fix).
+        factor = _UNIT_FACTOR[t.unit]
+        v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        secs = v // factor - _ORC_EPOCH_S
+        nanos = (v % factor) * (1_000_000_000 // factor)
+        codec_s, enc_s = _encode_int_data(secs, config, signed=True)
+        streams.append(Stream(name, DATA, codec_s, enc_s, nv, {"signed": True}))
+        frac = _encode_orc_nanos(nanos)
+        codec_f, enc_f = _encode_int_data(frac, config, signed=False)
+        streams.append(Stream(name, SECONDARY, codec_f, enc_f, nv, {"signed": False}))
+        return "timestamp2"
+
+    if pa.types.is_date(t):
         # date32 has no direct int64 cast; bridge through its storage width
         via = valid.cast(pa.int32()) if t == pa.date32() else valid
         vals = via.cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -346,7 +393,17 @@ def _decode_values(name: str, t: pa.DataType, by_kind: dict, child_streams: list
         lanes[0::2], lanes[1::2] = lo, hi
         return pa.Array.from_buffers(t, nv, [None, pa.py_buffer(lanes.tobytes())])
 
-    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+    if pa.types.is_timestamp(t):
+        if SECONDARY not in by_kind:  # legacy single-stream layout (pre-v4)
+            return pa.array(_decode_int_data(by_kind[DATA]), type=pa.int64()).cast(t)
+        secs = _decode_int_data(by_kind[DATA])
+        frac = _decode_int_data(by_kind[SECONDARY])
+        nanos = _decode_orc_nanos(frac)
+        factor = _UNIT_FACTOR[t.unit]
+        v = (secs + _ORC_EPOCH_S) * factor + nanos // (1_000_000_000 // factor)
+        return pa.array(v, type=pa.int64()).cast(t)
+
+    if pa.types.is_date(t):
         vals = _decode_int_data(by_kind[DATA])
         arr = pa.array(vals, type=pa.int64())
         if t == pa.date32():

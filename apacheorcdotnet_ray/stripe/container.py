@@ -34,7 +34,8 @@ TAIL_MAGIC = b"ORAY"
 # bump when any codec's internal layout changes incompatibly (readers check
 # the footer's version; scratch caches key on it)
 # v3: intdict streams embed their value count; strided (row-index) stripes
-FORMAT_VERSION = 3
+# v4: ORC-layout two-stream timestamps (readers accept v3 single-stream too)
+FORMAT_VERSION = 4
 
 
 def encode_stripe(
@@ -174,7 +175,7 @@ def decode_stripe(
     with {bytes_read, bytes_decompressed, strides_total, strides_read}.
     """
     footer = read_footer(buf)
-    if footer.get("version", 1) != FORMAT_VERSION:
+    if footer.get("version", 1) not in (3, FORMAT_VERSION):  # v3: ts fallback
         raise ValueError(
             f"stripe format v{footer.get('version', 1)} != reader v{FORMAT_VERSION};"
             " re-encode the input")

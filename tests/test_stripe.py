@@ -318,3 +318,46 @@ def test_row_index_stride_empty_selection():
     buf, _ = encode_stripe(t, EncodeConfig(row_index_stride=10))
     out = decode_stripe(buf, predicate=("k", ">", 10_000))
     assert out.num_rows == 0 and out.schema == t.schema
+
+
+def test_timestamp_two_stream_orc_layout():
+    """ORC-layout timestamps: seconds-since-2015 DATA + scaled-nanos
+    SECONDARY (TimestampWriter.cs:111-161), exact for pre-2015 values too."""
+    import datetime
+
+    vals = [
+        datetime.datetime(2014, 12, 31, 23, 59, 59, 500_000),  # pre-epoch
+        datetime.datetime(2015, 1, 1),
+        datetime.datetime(2020, 6, 1, 12, 34, 56, 789_123),
+        None,
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 1),        # pre-unix
+        datetime.datetime(2024, 1, 1, 0, 0, 0, 100_000),       # trailing zeros
+    ]
+    for unit in ("us", "ms", "s"):
+        conv = [None if v is None else
+                (v.replace(microsecond=(v.microsecond // 1000) * 1000)
+                 if unit == "ms" else v.replace(microsecond=0) if unit == "s" else v)
+                for v in vals]
+        t = pa.table({"ts": pa.array(conv, type=pa.timestamp(unit))})
+        buf, footer = encode_stripe(t)
+        assert footer["columns"][0]["encoding"] == "timestamp2"
+        kinds = {s["kind"] for s in footer["streams"]}
+        assert "SECONDARY" in kinds and "DATA" in kinds
+        assert decode_stripe(buf).equals(t), unit
+    # tz-aware
+    t = pa.table({"ts": pa.array([1_700_000_000_123_456, None],
+                                 type=pa.int64()).cast(pa.timestamp("us", tz="UTC"))})
+    buf, _ = encode_stripe(t)
+    assert decode_stripe(buf).equals(t)
+
+
+def test_orc_nanos_codec_vectors():
+    from apacheorcdotnet_ray.stripe.columns import _decode_orc_nanos, _encode_orc_nanos
+
+    nanos = np.array([0, 1, 100, 1000, 123_456_789, 500_000_000,
+                      100_000_000, 999_999_999, 10_000], dtype=np.int64)
+    enc = _encode_orc_nanos(nanos)
+    # reference semantics: 0 -> scale 7 scaled 0; 500ms -> scaled 5 scale 7
+    assert enc[0] == 7
+    assert enc[5] == (5 << 3) | 7
+    assert np.array_equal(_decode_orc_nanos(enc), nanos)
