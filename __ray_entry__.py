@@ -351,6 +351,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             min_words=40, min_uniq_ratio=0.25).select_columns(["doc_id"]),
         "lang_id": lambda sf_dir: text.lang_id(_read(sf_dir, "documents")),
         "doc_fingerprints": lambda sf_dir: text.doc_fingerprints(_read(sf_dir, "documents")),
+        "ngram_counts": lambda sf_dir: text.ngram_counts(
+            _read(sf_dir, "documents", columns=["text"]), n=2, k=10),
+        # --- corpus sampling / splitting / packing ---
+        "train_val_split": _train_val_split,
+        "corpus_mix": _corpus_mix,
+        "stratified_sample": _stratified_sample,
+        "pack_sequences": _pack_sequences,
         # --- deduplication ---
         "dedup_exact": lambda sf_dir: dedup.dedup_exact(_read(sf_dir, "documents")),
         "dedup_minhash": lambda sf_dir: dedup.dedup_minhash_lsh(
@@ -383,6 +390,38 @@ def _dedup_end_to_end(sf_dir: str):
     pairs = dedup.dedup_ngram_jaccard(docs, threshold=0.8)
     clusters = dedup.dup_clusters(pairs)
     return dedup.keep_canonical(docs, clusters).select_columns(["doc_id"])
+
+
+def _train_val_split(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.sample import train_val_split
+
+    _, val = train_val_split(_read(sf_dir, "documents", columns=["doc_id"]),
+                             val_frac=0.25)
+    return val
+
+
+def _corpus_mix(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.sample import mix_sources
+
+    return mix_sources(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25})
+
+
+def _stratified_sample(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.sample import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]), n_per_group=5)
+
+
+def _pack_sequences(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.pack import pack_sequences
+    from apacheorcdotnet_ray.pipelines.text import tokenize_documents
+
+    ds = tokenize_documents(_read(sf_dir, "documents"))
+    return pack_sequences(ds, seq_len=512, pad_id=0) \
+        .select_columns(["first_doc", "n_docs", "n_tokens"])
 
 
 def _media_features(sf_dir: str):
@@ -576,6 +615,30 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "ngram_counts": (
+            "WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),"
+            " u AS (SELECT unnest(list_transform(range(1, len(ws)),"
+            "   i -> ws[i] || ' ' || ws[i+1])) AS ng FROM w)"
+            " SELECT ng, count(*) AS cnt FROM u GROUP BY ng"
+            " ORDER BY cnt DESC, ng LIMIT 10"
+        ),
+        "train_val_split": (
+            "SELECT doc_id FROM documents"
+            " WHERE (doc_id % 2147483647) * 2654435761 % 1000000 < 250000"
+        ),
+        "corpus_mix": (
+            "SELECT doc_id, source FROM documents"
+            " WHERE (doc_id % 2147483647) * 2654435761 % 1000000 <"
+            "  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000"
+            "   WHEN 'src2' THEN 250000 ELSE 0 END"
+        ),
+        "stratified_sample": (
+            "WITH h AS (SELECT doc_id, source,"
+            "   (doc_id % 2147483647) * 2654435761 % 1000000 AS hh FROM documents),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY source"
+            "   ORDER BY hh, doc_id) AS rn FROM h)"
+            " SELECT doc_id, source FROM r WHERE rn <= 5"
+        ),
         "dedup_end_to_end": (
             "WITH RECURSIVE"
             " w AS (SELECT doc_id, string_split(text,' ') AS ws, text FROM documents),"

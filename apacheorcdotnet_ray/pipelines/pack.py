@@ -1,0 +1,97 @@
+"""Sequence packing: documents' token lists → fixed-length training
+sequences, the last tokens-axis mile of an LLM data pipeline.
+
+Docs are hash-partitioned (bounded partitions, like dedup._grouped_map) and
+packed greedily in deterministic doc-id order WITHIN each partition, so the
+operator is reproducible, shuffle-bounded, and each partition emits
+independent, self-contained sequences — on a cluster each ~1/N-th of the
+corpus packs in parallel with no coordination. Cross-partition remainders
+are not merged (at most one partial sequence per partition, padded or
+dropped) — the standard trade for distributed packing.
+
+Everything inside a partition is vectorized: one concatenate over the flat
+token stream, one reshape into (n, seq_len), searchsorted for per-sequence
+document boundaries (attention-mask resets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    seq_len: int = 2048,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    pad_id: int | None = 0,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Output rows: (first_doc, n_docs, n_tokens, doc_starts, tokens).
+
+    - ``tokens``: exactly ``seq_len`` ids; the final sequence of a partition
+      pads with ``pad_id`` (or is DROPPED when ``pad_id`` is None).
+    - ``n_tokens``: real (non-pad) token count.
+    - ``doc_starts``: offsets within the sequence where a new document
+      begins (position 0 included iff a document starts there) — feeds
+      block-diagonal attention masking.
+    - ``first_doc`` / ``n_docs``: lineage back to the packed documents.
+    """
+    from .dedup import _grouped_map
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        toks = [np.asarray(t, dtype=np.int32) for t in df[tokens_col]]
+        ids = df[id_col].to_numpy()
+        if not toks:
+            return pd.DataFrame({"first_doc": pd.Series(dtype=ids.dtype),
+                                 "n_docs": pd.Series(dtype=np.int64),
+                                 "n_tokens": pd.Series(dtype=np.int64),
+                                 "doc_starts": pd.Series(dtype=object),
+                                 "tokens": pd.Series(dtype=object)})
+        flat = np.concatenate(toks)
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        bounds = np.concatenate([[0], np.cumsum(lens)])  # doc start offsets
+        total = len(flat)
+        n_full = total // seq_len
+        rem = total - n_full * seq_len
+        if rem and pad_id is not None:
+            flat = np.concatenate([flat, np.full(seq_len - rem, pad_id, np.int32)])
+            n_seq = n_full + 1
+        else:
+            n_seq = n_full
+            flat = flat[: n_seq * seq_len]
+        if n_seq == 0:
+            return pd.DataFrame({"first_doc": pd.Series(dtype=ids.dtype),
+                                 "n_docs": pd.Series(dtype=np.int64),
+                                 "n_tokens": pd.Series(dtype=np.int64),
+                                 "doc_starts": pd.Series(dtype=object),
+                                 "tokens": pd.Series(dtype=object)})
+        seqs = flat.reshape(n_seq, seq_len)
+        cuts = np.arange(n_seq + 1, dtype=np.int64) * seq_len
+        # docs whose start falls in [cuts[i], cuts[i+1]) belong to sequence i
+        start_seq = np.searchsorted(cuts, bounds[:-1], side="right") - 1
+        start_seq = np.minimum(start_seq, n_seq - 1)
+        # first/last doc index touching each sequence
+        first_idx = np.searchsorted(bounds, cuts[:-1], side="right") - 1
+        last_idx = np.minimum(
+            np.searchsorted(bounds, np.minimum(cuts[1:], total), side="left") - 1,
+            len(lens) - 1)
+        n_tok = np.minimum(cuts[1:], total) - cuts[:-1]
+        doc_starts = [
+            (bounds[:-1][(start_seq == i) & (bounds[:-1] < total)] - cuts[i]).astype(np.int32)
+            for i in range(n_seq)
+        ]
+        return pd.DataFrame({
+            "first_doc": ids[first_idx],
+            "n_docs": (last_idx - first_idx + 1).astype(np.int64),
+            "n_tokens": n_tok.astype(np.int64),
+            "doc_starts": doc_starts,
+            "tokens": list(seqs),
+        })
+
+    return _grouped_map(ds.select_columns([id_col, tokens_col]), [id_col],
+                        pack, num_partitions)

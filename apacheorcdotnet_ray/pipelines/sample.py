@@ -1,0 +1,104 @@
+"""Deterministic sampling / splitting / mixing for training corpora.
+
+All operators are hash-deterministic (no RNG state, no ordering
+dependence), so they are reproducible across runs, resumable, and exactly
+expressible in SQL for the oracle. The row hash is
+
+    h(id) = ((id % 2147483647) * 2654435761) % 1_000_000
+
+which stays inside int64 on both numpy and the SQL side (2^31 * 2.7e9 <
+2^63 — no overflow divergence). Every operator is a pure ``map_batches``
+filter: no shuffle, no driver collection, trivially scales.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+_MOD = 2147483647          # 2^31 - 1
+_MULT = 2654435761         # Knuth multiplicative constant
+_BUCKETS = 1_000_000
+
+
+def _row_hash(ids: np.ndarray) -> np.ndarray:
+    return ((ids.astype(np.int64) % _MOD) * _MULT) % _BUCKETS
+
+
+def train_val_split(
+    ds: rd.Dataset, val_frac: float = 0.1, id_col: str = "doc_id",
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """(train, val) by deterministic id hash — the same id always lands on
+    the same side, across runs and across differently-partitioned inputs."""
+    cut = int(val_frac * _BUCKETS)
+
+    def side(is_val: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = _row_hash(batch.column(id_col).to_numpy(zero_copy_only=False))
+            mask = h < cut if is_val else h >= cut
+            return batch.filter(pa.array(mask))
+
+        return fn
+
+    return (ds.map_batches(side(False), batch_format="pyarrow"),
+            ds.map_batches(side(True), batch_format="pyarrow"))
+
+
+def hash_sample(
+    ds: rd.Dataset, frac: float, id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Deterministic ~frac sample by id hash (a filter, not a shuffle)."""
+    cut = int(frac * _BUCKETS)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _row_hash(batch.column(id_col).to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(h < cut))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mix_sources(
+    ds: rd.Dataset, weights: dict[str, float],
+    key_col: str = "source", id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Weighted corpus mixing: keep each source's rows with its own
+    deterministic sampling rate (weight in [0, 1]); unlisted sources drop.
+    The standard pretraining-mixture op, expressed as a stateless filter —
+    re-weighting a 100 TB corpus costs one streaming pass, no shuffle."""
+    cuts = {k: int(w * _BUCKETS) for k, w in weights.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _row_hash(batch.column(id_col).to_numpy(zero_copy_only=False))
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        denc = col.dictionary_encode()  # per-distinct lookup, not per-row
+        cut_per_code = np.array([cuts.get(v, 0) for v in denc.dictionary.to_pylist()],
+                                dtype=np.int64)
+        cut = cut_per_code[denc.indices.to_numpy(zero_copy_only=False)]
+        return batch.filter(pa.array(h < cut))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: rd.Dataset, n_per_group: int,
+    key_col: str = "source", id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Exactly n rows per group, chosen deterministically: the n smallest
+    (hash, id) per group. One bounded hash shuffle keyed on the group
+    co-locates each group; the per-partition reduction is a vectorized
+    pandas groupby head over hash order."""
+    import pandas as pd
+
+    from .dedup import _grouped_map
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = _row_hash(df[id_col].to_numpy())
+        df = df.assign(_h=h).sort_values(["_h", id_col], kind="mergesort")
+        out = df.groupby(key_col, sort=False).head(n_per_group)
+        return out.drop(columns="_h")
+
+    return _grouped_map(ds, [key_col], pick, num_partitions)

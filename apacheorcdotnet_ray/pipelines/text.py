@@ -203,3 +203,44 @@ def doc_fingerprints(ds: rd.Dataset, window: int = 8) -> rd.Dataset:
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_counts(ds: rd.Dataset, n: int = 2, k: int = 10,
+                 text_col: str = "text") -> rd.Dataset:
+    """Global top-k word n-grams: vectorized n-gram string construction per
+    batch (binary_join over shifted flat word arrays, cross-doc positions
+    masked) → per-batch value_counts partial → grouped sum → tiny sorted
+    head. Ties break on the n-gram string, matching the SQL oracle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(texts, " ")
+        flat = words.flatten()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(flat) - n + 1
+        if m <= 0:
+            return pa.table({"ng": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        shifted = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(*shifted, " ")
+        # drop cross-doc windows: for each internal doc start b, positions
+        # b-n+1..b-1 span two docs
+        valid = np.ones(m, dtype=bool)
+        if len(offs) > 2 and n > 1:
+            bad = (np.add.outer(offs[1:-1], np.arange(-(n - 1), 0))).ravel()
+            bad = bad[(bad >= 0) & (bad < m)]
+            valid[bad] = False
+        grams = grams.filter(pa.array(valid))
+        vc = grams.value_counts()
+        return pa.table({"ng": vc.field("values"), "cnt": vc.field("counts")})
+
+    from .dedup import _grouped_map
+
+    def reduce_part(df):
+        return df.groupby("ng", sort=False, as_index=False)["cnt"].sum()
+
+    summed = _grouped_map(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["ng"], reduce_part)
+    return summed.sort(["cnt", "ng"], descending=[True, False]).limit(k)

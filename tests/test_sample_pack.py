@@ -1,0 +1,77 @@
+"""Deterministic sampling/splitting/mixing + sequence packing."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _docs(n=200):
+    rng = np.random.default_rng(11)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        "tokens": pa.array(
+            [rng.integers(1, 1000, size=int(rng.integers(5, 60))).astype(np.int32)
+             for _ in range(n)], type=pa.list_(pa.int32())),
+    }))
+
+
+def test_train_val_split_disjoint_deterministic(ray_session):
+    from apacheorcdotnet_ray.pipelines.sample import train_val_split
+
+    ds = _docs()
+    tr, va = train_val_split(ds, val_frac=0.25)
+    tr_ids = {r["doc_id"] for r in tr.select_columns(["doc_id"]).take_all()}
+    va_ids = {r["doc_id"] for r in va.select_columns(["doc_id"]).take_all()}
+    assert tr_ids.isdisjoint(va_ids)
+    assert len(tr_ids) + len(va_ids) == 200
+    # deterministic across a second invocation
+    _, va2 = train_val_split(_docs(), val_frac=0.25)
+    assert {r["doc_id"] for r in va2.select_columns(["doc_id"]).take_all()} == va_ids
+
+
+def test_mix_sources_weights(ray_session):
+    from apacheorcdotnet_ray.pipelines.sample import mix_sources
+
+    ds = _docs(300)
+    out = mix_sources(ds, {"s0": 1.0, "s1": 0.0}).take_all()
+    srcs = {r["source"] for r in out}
+    assert srcs == {"s0"}
+    assert len(out) == 100  # weight 1.0 keeps every s0 row, s2 unlisted drops
+
+
+def test_stratified_sample_exact_n(ray_session):
+    from apacheorcdotnet_ray.pipelines.sample import stratified_sample
+
+    out = stratified_sample(_docs(300), n_per_group=7).take_all()
+    from collections import Counter
+
+    c = Counter(r["source"] for r in out)
+    assert c == {"s0": 7, "s1": 7, "s2": 7}
+    out2 = stratified_sample(_docs(300), n_per_group=7).take_all()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+
+
+def test_pack_sequences_invariants(ray_session):
+    from apacheorcdotnet_ray.pipelines.pack import pack_sequences
+
+    ds = _docs(150)
+    total_tokens = sum(len(r["tokens"]) for r in ds.take_all())
+    seq_len = 128
+    packed = pack_sequences(ds, seq_len=seq_len, pad_id=0,
+                            num_partitions=8).take_all()
+    assert all(len(r["tokens"]) == seq_len for r in packed)
+    assert sum(r["n_tokens"] for r in packed) == total_tokens
+    for r in packed:
+        starts = list(r["doc_starts"])
+        assert all(0 <= s < seq_len for s in starts)
+        assert starts == sorted(starts)
+        assert r["n_docs"] >= 1 and r["n_tokens"] <= seq_len
+        # pad tail is all pad_id
+        tail = list(r["tokens"])[r["n_tokens"]:]
+        assert all(t == 0 for t in tail)
+    # drop mode: every sequence full, token count rounds down per partition
+    dropped = pack_sequences(_docs(150), seq_len=seq_len, pad_id=None,
+                             num_partitions=8).take_all()
+    assert all(r["n_tokens"] == seq_len for r in dropped)
+    assert sum(r["n_tokens"] for r in dropped) <= total_tokens
