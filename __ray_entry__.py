@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_customer": roundtrip("customer"),
         "roundtrip_part": roundtrip("part"),
         "roundtrip_events": roundtrip("events"),
+        "roundtrip_region": roundtrip("region"),
+        "roundtrip_nation": roundtrip("nation"),
+        "roundtrip_supplier": roundtrip("supplier"),
         "roundtrip_documents": roundtrip("documents"),
         "roundtrip_embeddings": roundtrip("embeddings"),
         "roundtrip_orders_zstd": lambda sf_dir: _roundtrip(sf_dir, "orders", "zstd"),
@@ -460,6 +463,9 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_customer": "SELECT * FROM customer",
         "roundtrip_part": "SELECT * FROM part",
         "roundtrip_events": "SELECT * FROM events",
+        "roundtrip_region": "SELECT * FROM region",
+        "roundtrip_nation": "SELECT * FROM nation",
+        "roundtrip_supplier": "SELECT * FROM supplier",
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_embeddings": "SELECT * FROM embeddings",
         "roundtrip_orders_zstd": "SELECT * FROM orders",

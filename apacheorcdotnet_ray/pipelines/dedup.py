@@ -251,21 +251,32 @@ def dedup_minhash_lsh(
 
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
         dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
-        out = []
+        # candidate pairs from every bucket in this partition, deduped FIRST
+        # (a near-dup pair shares many bands → would otherwise verify once
+        # per band), then exact Jaccard once per distinct pair using the
+        # partition-local doc→shingle-set map
+        pair_set: set = set()
         for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            if len(g) < 2:
+            ids = np.unique(g["doc_id"].values)
+            if len(ids) < 2:
                 continue
-            ids = g["doc_id"].values
-            sets = [np.asarray(s, dtype=np.int64) for s in g["sh_set"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    sa, sb = sets[i], sets[j]
-                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                    union = len(sa) + len(sb) - inter
-                    jac = inter / union if union else 1.0
-                    if jac >= jaccard_threshold:
-                        out.append((ids[i], ids[j], jac))
+            iu, ju = np.triu_indices(len(ids), k=1)
+            pair_set.update(zip(ids[iu].tolist(), ids[ju].tolist()))
+        if not pair_set:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
+                                 "doc_b": pd.Series(dtype=df["doc_id"].dtype),
+                                 "jaccard": pd.Series(dtype=np.float64)})
+        first = dup.drop_duplicates("doc_id")
+        sets = {d: np.asarray(s, dtype=np.int64)
+                for d, s in zip(first["doc_id"], first["sh_set"])}
+        out = []
+        for da, db in pair_set:
+            sa, sb = sets[da], sets[db]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 1.0
+            if jac >= jaccard_threshold:
+                out.append((da, db, jac))
         if not out:
             return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
                                  "doc_b": pd.Series(dtype=df["doc_id"].dtype),
