@@ -112,6 +112,17 @@ def _asof_join(sf_dir: str):
     )
 
 
+def _hash_join(sf_dir: str):
+    """Large-large repartition join (both sides co-partitioned by key)."""
+    from apacheorcdotnet_ray.pipelines.joins import hash_join
+
+    return hash_join(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+
+
 def _predicate_scan(sf_dir: str):
     """Stat-pruned decode: stripes whose footer min/max exclude the predicate
     are never read (the ORC ROW_INDEX analog)."""
@@ -340,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", columns=["event_id", "props"]), "props", "k"),
         # --- joins ---
         "broadcast_join": _broadcast_join,
+        "hash_join": _hash_join,
         "asof_join": _asof_join,
         "range_join_follow": _range_join_follow,
         # --- text analysis ---
@@ -572,6 +584,11 @@ def oracle_sql() -> dict[str, str]:
             " ON b.user_id = a.user_id AND b.ts > a.ts"
             "  AND b.ts <= a.ts + INTERVAL 1 HOUR"
             " GROUP BY a.event_id"
+        ),
+        "hash_join": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,"
+            " o.o_custkey, o.o_totalprice"
+            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
         "asof_join": (
             "WITH r AS (SELECT o_custkey AS k, o_orderdate AS t,"

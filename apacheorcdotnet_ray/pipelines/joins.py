@@ -168,3 +168,77 @@ def asof_join(
         return batch.rename_columns([left_id, left_on, right_value])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Large-large equi-join: both sides co-partitioned by key hash through
+    ONE bounded shuffle (the repartition-join; contrast broadcast_hash_join
+    for small sides). Each side's rows ship with the other side's columns
+    null-padded (Arrow null columns are validity bitmaps — near-free to
+    ship); each partition resolves with one vectorized ``pandas.merge``.
+
+    Non-key column names must be disjoint. ``how``: inner | left.
+    Partitioning assumption: all rows of one key fit in one partition."""
+    import pyarrow.compute as pc
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = [c for c in r_schema.names if c != right_on]
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"non-key column names must be disjoint: {overlap}")
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = {c: t for c, t in zip(r_schema.names, r_schema.types) if c != right_on}
+    all_cols = l_cols + r_cols
+
+    def norm(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for c in all_cols:
+                if side == "l" and c in l_types:
+                    cols[c] = batch.column(c)
+                elif side == "r" and c in r_types:
+                    cols[c] = batch.column(c)
+                elif side == "r" and c == left_on:
+                    cols[c] = batch.column(right_on).cast(l_types[left_on])
+                else:
+                    cols[c] = pa.nulls(n, l_types.get(c) or r_types[c])
+            cols["_side"] = pa.array([side] * n)
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(norm("l"), batch_format="pyarrow").union(
+        right.map_batches(norm("r"), batch_format="pyarrow"))
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(batch.select([left_on])).hash_rows(seed=3).to_numpy()
+        return batch.append_column(
+            "_pk", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+
+    def merge_part(tbl: pa.Table) -> pa.Table:
+        # Arrow hash join inside the partition: type-preserving (no pandas
+        # int→float widening through the null-padded union columns)
+        mask_l = pc.equal(tbl.column("_side"), "l")
+        l = tbl.filter(mask_l).select(l_cols)
+        r = tbl.filter(pc.invert(mask_l)).select([left_on] + r_cols)
+        return l.join(r, keys=[left_on], join_type=join_type).select(all_cols)
+
+    return (
+        both.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(merge_part, batch_format="pyarrow")
+    )

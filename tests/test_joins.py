@@ -60,3 +60,32 @@ def test_range_join_follow_counts(ray_session):
     assert out.loc[3, "n_follow"] == 0  # 12:00 outside
     assert out.loc[4, "n_follow"] == 0
     assert out.loc[5, "n_follow"] == 0  # different user
+
+
+def test_hash_join_left_and_inner(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.joins import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 2], type=pa.int64()),
+        "lv": pa.array([10, 20, 30, 40, 21], type=pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 3, 9], type=pa.int64()),
+        "rv": pa.array([200.0, 300.0, 301.0, 900.0]),
+    }))
+    inner = hash_join(left, right, "k", "rk", how="inner").to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert inner["k"].tolist() == [2, 2, 3, 3]
+    assert inner["rv"].tolist() == [200.0, 200.0, 300.0, 301.0]
+    assert str(inner["lv"].dtype) == "int64"  # no float widening
+
+    lj = hash_join(rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], type=pa.int64()),
+        "lv": pa.array([10, 20], type=pa.int64()),
+    })), right, "k", "rk", how="left").to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(lj) == 2
+    assert np.isnan(lj["rv"][0]) and lj["rv"][1] == 200.0
