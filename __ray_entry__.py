@@ -368,6 +368,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": lambda sf_dir: text.doc_fingerprints(_read(sf_dir, "documents")),
         "ngram_counts": lambda sf_dir: text.ngram_counts(
             _read(sf_dir, "documents", columns=["text"]), n=2, k=10),
+        # idf="linear" for the oracle: its score uses only IEEE *,/ so the
+        # doubles match DuckDB bit-for-bit (ln differs in the last ulp)
+        "tfidf_top_terms": lambda sf_dir: text.tfidf_top_terms(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), k=3,
+            idf="linear"),
         # --- corpus sampling / splitting / packing ---
         "train_val_split": _train_val_split,
         "corpus_mix": _corpus_mix,
@@ -644,6 +649,20 @@ def oracle_sql() -> dict[str, str]:
             "   i -> ws[i] || ' ' || ws[i+1])) AS ng FROM w)"
             " SELECT ng, count(*) AS cnt FROM u GROUP BY ng"
             " ORDER BY cnt DESC, ng LIMIT 10"
+        ),
+        "tfidf_top_terms": (
+            "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
+            "   FROM documents),"
+            " tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),"
+            " df AS (SELECT term, count(*) AS df FROM"
+            "   (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),"
+            " s AS (SELECT tf.doc_id, tf.term,"
+            "   tf.tf * (SELECT count(*) FROM documents) / CAST(df.df AS DOUBLE)"
+            "     AS score FROM tf JOIN df USING (term)),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY doc_id"
+            "   ORDER BY score DESC, term) AS rank FROM s)"
+            " SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank"
+            " FROM r WHERE rank <= 3"
         ),
         "train_val_split": (
             "SELECT doc_id FROM documents"

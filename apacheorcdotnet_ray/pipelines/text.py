@@ -244,3 +244,81 @@ def ngram_counts(ds: rd.Dataset, n: int = 2, k: int = 10,
     summed = _grouped_map(ds.map_batches(partial, batch_format="pyarrow"),
                           ["ng"], reduce_part)
     return summed.sort(["cnt", "ng"], descending=[True, False]).limit(k)
+
+
+def tfidf_top_terms(ds: rd.Dataset, k: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    num_partitions: int = 64, idf: str = "log") -> rd.Dataset:
+    """Per-doc top-k terms by tf-idf, rank ties on the term string. Fully
+    distributed: per-batch Arrow group_by builds the (doc, term, tf)
+    postings (docs never span batches), document frequency aggregates
+    through bounded hash partitions, and the vocabulary-sized df table
+    joins back via the repartition hash_join — nothing vocabulary-sized is
+    ever broadcast or collected.
+
+    ``idf``: "log" → score = tf * ln(N/df) (textbook); "linear" → score =
+    tf * N / df. The linear kernel uses only IEEE +,*,/ so its doubles are
+    bit-identical across engines — the driver's DuckDB oracle runs it
+    because numpy's log and DuckDB's ln differ in the last ulp."""
+    from .dedup import _grouped_map
+    from .joins import hash_join
+
+    n_docs = ds.count()  # one driver-side scalar
+
+    def postings(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(texts, " ")
+        flat = words.flatten()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            id_col: pa.array(np.repeat(ids, counts)),
+            "term": flat,
+        })
+        g = t.group_by([id_col, "term"]).aggregate([([], "count_all")])
+        return pa.table({
+            id_col: g.column(id_col),
+            "term": g.column("term"),
+            "tf": g.column("count_all").cast(pa.int64()),
+        })
+
+    post = ds.map_batches(postings, batch_format="pyarrow")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # (doc, term) pairs are unique within a batch (docs don't span
+        # batches), so df partial = rows per term
+        g = batch.group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g.column("term"),
+                         "p": g.column("count_all").cast(pa.int64())})
+
+    def df_reduce(dfp):
+        out = dfp.groupby("term", sort=False, as_index=False)["p"].sum()
+        return out.rename(columns={"p": "df"})
+
+    doc_freq = _grouped_map(post.map_batches(df_partial, batch_format="pyarrow"),
+                            ["term"], df_reduce, num_partitions)
+
+    joined = hash_join(post, doc_freq, left_on="term", right_on="term",
+                       num_partitions=num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * np.log(n_docs / dfv) if idf == "log" else tf * n_docs / dfv
+        return batch.append_column("score", pa.array(s, type=pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([id_col, "score", "term"],
+                                ascending=[True, False, True], kind="mergesort")
+        part["rank"] = part.groupby(id_col, sort=False).cumcount() + 1
+        out = part[part["rank"] <= k][[id_col, "term", "score", "rank"]]
+        out["rank"] = out["rank"].astype(np.int64)
+        return out
+
+    import pandas as pd  # noqa: F811
+
+    return _grouped_map(scored, [id_col], topk, num_partitions)
