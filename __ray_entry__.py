@@ -370,6 +370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", columns=["text"]), n=2, k=10),
         # idf="linear" for the oracle: its score uses only IEEE *,/ so the
         # doubles match DuckDB bit-for-bit (ln differs in the last ulp)
+        "bm25_search": lambda sf_dir: text.bm25_search(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            "hash join merge", k=10, idf="linear"),
         "tfidf_top_terms": lambda sf_dir: text.tfidf_top_terms(
             _read(sf_dir, "documents", columns=["doc_id", "text"]), k=3,
             idf="linear"),
@@ -649,6 +652,31 @@ def oracle_sql() -> dict[str, str]:
             "   i -> ws[i] || ' ' || ws[i+1])) AS ng FROM w)"
             " SELECT ng, count(*) AS cnt FROM u GROUP BY ng"
             " ORDER BY cnt DESC, ng LIMIT 10"
+        ),
+        # bm25: idf="linear" + identical IEEE evaluation order on both sides
+        # (sum over terms left-assoc in sorted term order); tf counts use the
+        # shared non-overlapping ' term ' convention (same as lang_id)
+        "bm25_search": (
+            "WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt,"
+            "   len(string_split(text, ' ')) AS dl FROM documents),"
+            " tf AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dl,"
+            "   CAST((length(pt) - length(replace(pt, ' hash ', ''))) / 6 AS DOUBLE) AS tf0,"
+            "   CAST((length(pt) - length(replace(pt, ' join ', ''))) / 6 AS DOUBLE) AS tf1,"
+            "   CAST((length(pt) - length(replace(pt, ' merge ', ''))) / 7 AS DOUBLE) AS tf2"
+            "   FROM p),"
+            " g AS (SELECT count(*) AS n, sum(dl) AS sdl,"
+            "   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,"
+            "   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,"
+            "   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM tf),"
+            " s AS (SELECT tf.doc_id,"
+            "   (CAST(g.n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5) * tf0 * (1.2 + 1.0)"
+            "     / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (g.sdl / g.n)))"
+            "   + (CAST(g.n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) * tf1 * (1.2 + 1.0)"
+            "     / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (g.sdl / g.n)))"
+            "   + (CAST(g.n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) * tf2 * (1.2 + 1.0)"
+            "     / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (g.sdl / g.n)))"
+            "   AS score FROM tf, g)"
+            " SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10"
         ),
         "tfidf_top_terms": (
             "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"

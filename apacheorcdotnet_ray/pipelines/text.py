@@ -322,3 +322,66 @@ def tfidf_top_terms(ds: rd.Dataset, k: int = 3,
     import pandas as pd  # noqa: F811
 
     return _grouped_map(scored, [id_col], topk, num_partitions)
+
+
+def bm25_search(ds: rd.Dataset, query: str, k: int = 10,
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text",
+                idf: str = "log", num_partitions: int = 64) -> rd.Dataset:
+    """Lexical top-k retrieval: BM25 score of each doc against a query
+    string, the text-side sibling of similarity.brute_force_topk.
+
+    Two cheap metadata passes (corpus size + avg doc length, tiny driver
+    scalars; query-term document frequencies via one filtered aggregate),
+    then one streaming scoring pass — per batch, term counts come from
+    vectorized substring counts of the padded text, so no per-row Python
+    and nothing document-sized leaves the workers. Final top-k is a sort
+    over per-batch partial top-ks.
+
+    ``idf``: "log" → ln((N - df + 0.5)/(df + 0.5)) (textbook BM25);
+    "linear" → (N - df + 0.5)/(df + 0.5), using only IEEE arithmetic so the
+    DuckDB oracle matches bit-for-bit."""
+    terms = sorted(set(query.split()))
+
+    # pass 1: N, avgdl, and per-term document frequencies — one aggregate
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * batch.num_rows), batch.column(text_col),
+            pa.array([" "] * batch.num_rows), "")
+        row = {"n_docs": [batch.num_rows],
+               "sum_dl": [int(np.sum(word_counts(batch, text_col).to_numpy()))]}
+        for i, t in enumerate(terms):
+            row[f"df{i}"] = [int(pc.sum(pc.greater(
+                pc.count_substring(padded, f" {t} "), 0).cast(pa.int64())).as_py() or 0)]
+        return pa.table(row)
+
+    agg = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .sum(["n_docs", "sum_dl"] + [f"df{i}" for i in range(len(terms))])
+    n_docs = agg["sum(n_docs)"]
+    avgdl = agg["sum(sum_dl)"] / n_docs
+    dfs = np.array([agg[f"sum(df{i})"] for i in range(len(terms))], dtype=np.float64)
+    if idf == "log":
+        idfs = np.log((n_docs - dfs + 0.5) / (dfs + 0.5))
+    else:
+        idfs = (n_docs - dfs + 0.5) / (dfs + 0.5)
+
+    # pass 2: streaming scoring, per-batch partial top-k
+    def score(batch: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * batch.num_rows), batch.column(text_col),
+            pa.array([" "] * batch.num_rows), "")
+        dl = word_counts(batch, text_col).to_numpy().astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(batch.num_rows, dtype=np.float64)
+        for i, t in enumerate(terms):
+            tf = pc.count_substring(padded, f" {t} ").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            s += idfs[i] * tf * (k1 + 1.0) / (tf + norm)
+        t_out = pa.table({id_col: batch.column(id_col),
+                          "score": pa.array(s, type=pa.float64())})
+        order = pc.sort_indices(t_out, sort_keys=[("score", "descending"),
+                                                  (id_col, "ascending")])
+        return t_out.take(order[: k])
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return partials.sort(["score", id_col], descending=[True, False]).limit(k)

@@ -75,3 +75,21 @@ def test_pack_sequences_invariants(ray_session):
                              num_partitions=8).take_all()
     assert all(r["n_tokens"] == seq_len for r in dropped)
     assert sum(r["n_tokens"] for r in dropped) <= total_tokens
+
+
+def test_bm25_log_variant(ray_session):
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.text import bm25_search
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "hash join merge hash"},
+        {"doc_id": 2, "text": "table scan only"},
+        {"doc_id": 3, "text": "hash hash hash hash hash filler filler filler filler"},
+        {"doc_id": 4, "text": "join"},
+    ])
+    out = bm25_search(docs, "hash join", k=3, idf="log").take_all()
+    assert [r["doc_id"] for r in out][0] == 1  # both terms → top
+    assert len(out) == 3
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
