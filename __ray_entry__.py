@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "windowed_agg_events": lambda sf_dir: stats.windowed_agg(
             _read(sf_dir, "events", columns=["ts", "event_type", "value"])),
+        "sliding_window_agg": lambda sf_dir: stats.sliding_windowed_agg(
+            _read(sf_dir, "events", columns=["ts", "event_type", "value"])),
         "distinct_count": lambda sf_dir: stats.distinct_count(
             _read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey"),
         "distinct_count_hll": lambda sf_dir: stats.distinct_count_hll(
@@ -546,6 +548,16 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_millis,"
             " count(*) AS n_events"
             " FROM events GROUP BY 1, 2"
+        ),
+        "sliding_window_agg": (
+            "WITH e AS (SELECT ts, event_type,"
+            "   CAST(floor(value * 1000) AS BIGINT) AS v FROM events),"
+            " x AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts)"
+            "   - j * INTERVAL 15 MINUTE AS window_start, event_type, v"
+            "   FROM e, (SELECT unnest([0, 1, 2, 3]) AS j) t)"
+            " SELECT window_start, event_type,"
+            " CAST(sum(v) AS BIGINT) AS sum_millis, count(*) AS n_events"
+            " FROM x GROUP BY 1, 2"
         ),
         "distinct_count": (
             "SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem"

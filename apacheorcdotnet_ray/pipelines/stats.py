@@ -343,3 +343,53 @@ def group_stats_by(ds: rd.Dataset, key: str, sum_col: str) -> rd.Dataset:
         partials.groupby(key)
         .aggregate(Sum("p_sum", alias_name="sum_val"), Sum("p_cnt", alias_name="n_rows"))
     )
+
+
+def sliding_windowed_agg(ds: rd.Dataset, ts_col: str = "ts",
+                         key: str = "event_type", value_col: str = "value",
+                         window_minutes: int = 60, slide_minutes: int = 15) -> rd.Dataset:
+    """Sliding (hopping) window aggregate: each event lands in
+    window_minutes / slide_minutes overlapping windows; per
+    (window_start, key) count + quantized value sum.
+
+    The explode is a vectorized repeat (window/slide is a small constant),
+    then the same per-batch partial → grouped final sum pattern as the
+    tumbling variant — the shuffle moves one small partial row per
+    (batch, window, key), never the exploded events."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    assert window_minutes % slide_minutes == 0
+    n_win = window_minutes // slide_minutes
+    slide_us = np.int64(slide_minutes * 60_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # newest window containing t starts at floor(t/slide)*slide; the
+        # n_win windows starting there and earlier all contain t
+        base = (ts // slide_us) * slide_us
+        offs = (np.arange(n_win, dtype=np.int64) * slide_us)[None, :]
+        starts = (base[:, None] - offs).ravel()
+        millis = pc.floor(pc.multiply(batch.column(value_col), pa.scalar(1000.0))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = batch.column(key)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        t = pa.table({
+            "window_start": pa.array(starts, type=pa.int64()).cast(
+                pa.timestamp("us")),
+            key: keys.take(pa.array(np.repeat(np.arange(len(ts)), n_win))),
+            "v": pa.array(np.repeat(millis, n_win)),
+        })
+        g = t.group_by(["window_start", key]).aggregate([("v", "sum"), ([], "count_all")])
+        return g.select(["window_start", key, "v_sum", "count_all"]).rename_columns(
+            ["window_start", key, "p_sum", "p_cnt"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", key])
+        .aggregate(Sum("p_sum", alias_name="sum_millis"), Sum("p_cnt", alias_name="n_events"))
+    )

@@ -416,3 +416,22 @@ def test_schema_evolution_unify(ray_session, tmp_path):
     df3 = decode_dataset(str(d), predicate=("b", ">", 2.0), unify_schema=True) \
         .to_pandas()
     assert df3["id"].tolist() == [5]
+
+
+def test_cli_encode_inspect_decode(ray_session, tmp_path):
+    """python -m apacheorcdotnet_ray encode/inspect/decode round-trip."""
+    import json
+
+    from apacheorcdotnet_ray.__main__ import main
+
+    stripes = str(tmp_path / "stripes")
+    out = str(tmp_path / "out.parquet")
+    assert main(["encode", "/root/testdata/sf0.001/region.parquet", stripes]) == 0
+    assert main(["inspect", stripes]) == 0
+    assert main(["decode", stripes, out]) == 0
+    import pyarrow.parquet as pq
+
+    a = pq.read_table("/root/testdata/sf0.001/region.parquet")
+    b = pq.read_table(out)
+    assert b.sort_by("r_regionkey").select(a.column_names).equals(
+        a.sort_by("r_regionkey").cast(b.select(a.column_names).schema))
