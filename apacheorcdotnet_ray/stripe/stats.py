@@ -58,8 +58,15 @@ def column_stats(arr: pa.ChunkedArray | pa.Array) -> dict:
         stats["max"] = math.nextafter(float(mm["max"].as_py()), math.inf)
     elif pa.types.is_timestamp(t) or pa.types.is_date(t):
         mm = pc.min_max(arr)
-        stats["min"] = str(mm["min"].as_py())
-        stats["max"] = str(mm["max"].as_py())
+        try:
+            stats["min"] = str(mm["min"].as_py())
+            stats["max"] = str(mm["max"].as_py())
+        except (OverflowError, ValueError):
+            # outside Python datetime's year range → store raw epoch units;
+            # predicate comparisons vs string literals then degrade to
+            # conservative no-prune (maybe_satisfies catches the TypeError)
+            stats["min"] = mm["min"].value
+            stats["max"] = mm["max"].value
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         lens = pc.list_value_length(arr)
         stats["sum"] = pc.sum(lens).as_py()  # total element count

@@ -54,3 +54,50 @@ def test_rlev2_runs_roundtrip(run_pairs, signed):
                      [r for _, r in run_pairs])
     enc = rlev2.encode(vals, signed)
     assert np.array_equal(rlev2.decode(enc, signed, len(vals)), vals)
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_ppm_bmp_roundtrip_property(h, w, seed):
+    from apacheorcdotnet_ray.codecs import media
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(media.decode_ppm(media.encode_ppm(img)), img)
+    assert np.array_equal(media.decode_bmp(media.encode_bmp(img)), img)
+
+
+@given(st.integers(0, 999_999_999))
+@settings(max_examples=200, deadline=None)
+def test_orc_nanos_roundtrip_property(nanos):
+    from apacheorcdotnet_ray.stripe.columns import _decode_orc_nanos, _encode_orc_nanos
+
+    arr = np.array([nanos], dtype=np.int64)
+    assert _decode_orc_nanos(_encode_orc_nanos(arr))[0] == nanos
+
+
+@given(st.lists(st.integers(-2**62, 2**62), min_size=0, max_size=300),
+       st.integers(0, 50))
+@settings(max_examples=60, deadline=None)
+def test_intdict_roundtrip_property(vals, pad):
+    from apacheorcdotnet_ray.codecs import intdict
+
+    # pad with repeats to vary cardinality/width regimes
+    v = np.array(vals + vals[:pad], dtype=np.int64) if vals else np.array([], dtype=np.int64)
+    if len(v) == 0:
+        return
+    enc = intdict.encode(v)
+    assert np.array_equal(intdict.decode(enc), v)
+
+
+@given(st.integers(-2**40, 2**40), st.integers(0, 999_999), st.sampled_from(["us", "ms", "s"]))
+@settings(max_examples=100, deadline=None)
+def test_timestamp_two_stream_property(sec, micro, unit):
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.stripe import decode_stripe, encode_stripe
+
+    factor = {"us": 1_000_000, "ms": 1_000, "s": 1}[unit]
+    v = sec * factor + (micro % factor if factor > 1 else 0)
+    t = pa.table({"ts": pa.array([v], type=pa.int64()).cast(pa.timestamp(unit))})
+    buf, _ = encode_stripe(t)
+    assert decode_stripe(buf).equals(t)
