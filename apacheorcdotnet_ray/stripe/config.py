@@ -31,6 +31,11 @@ class EncodeConfig:
     # predicate reads decompress only qualifying strides within a surviving
     # stripe instead of every stream. None = single-segment streams.
     row_index_stride: int | None = None
+    # sort rows by this column within each stripe before encoding: stride
+    # min/max ranges become disjoint, so predicate reads skip maximally
+    # (also improves RLE run lengths on correlated columns). Stripe-local —
+    # no global shuffle; combine with an upstream ds.sort for total order.
+    sort_within_stripe: str | None = None
 
     # stripe sizing: encode tasks get one Arrow batch per stripe; these bound
     # how pipelines pick map_batches(batch_size=...) for list-heavy schemas

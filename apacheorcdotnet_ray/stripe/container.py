@@ -51,6 +51,8 @@ def encode_stripe(
         # schemas with metadata are unhashable (breaks Ray's block-schema
         # dedup downstream of decode) and bloat every footer — normalize
         table = table.cast(pa.schema([f.remove_metadata() for f in table.schema]))
+    if config.sort_within_stripe and config.sort_within_stripe in table.column_names:
+        table = table.sort_by(config.sort_within_stripe)
     out = bytearray(MAGIC)
     stream_dir = []
     columns_meta = []
@@ -73,6 +75,9 @@ def encode_stripe(
                 "length": len(payload),
                 "raw_length": len(s.data),
                 "n": s.n,
+                # integrity: at 100 TB, silent bit-rot in transit/storage is
+                # a when, not an if — decode verifies before decompressing
+                "crc32": zlib.crc32(payload),
             }
             if stride_idx is not None:
                 entry["stride"] = stride_idx
@@ -190,6 +195,11 @@ def decode_stripe(
 
     def make_stream(meta: dict) -> Stream:
         payload = buf[meta["offset"] : meta["offset"] + meta["length"]]
+        expected = meta.get("crc32")
+        if expected is not None and zlib.crc32(payload) != expected:
+            raise ValueError(
+                f"stripe stream corrupt: col={meta['col']} kind={meta['kind']}"
+                f" (crc mismatch at offset {meta['offset']})")
         data = decompress(payload, codec) if framed else payload
         if io_stats is not None:
             io_stats["bytes_read"] += meta["length"]

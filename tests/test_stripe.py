@@ -361,3 +361,38 @@ def test_orc_nanos_codec_vectors():
     assert enc[0] == 7
     assert enc[5] == (5 << 3) | 7
     assert np.array_equal(_decode_orc_nanos(enc), nanos)
+
+
+def test_stream_crc_detects_corruption():
+    t = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))})
+    buf, footer = encode_stripe(t)
+    assert decode_stripe(buf).equals(t)
+    # flip one byte inside the first stream's payload
+    off = footer["streams"][0]["offset"] + 3
+    bad = bytearray(buf)
+    bad[off] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt"):
+        decode_stripe(bytes(bad))
+
+
+def test_sort_within_stripe_tightens_strides():
+    rng = np.random.default_rng(21)
+    n = 40_000
+    k = rng.permutation(n).astype(np.int64)  # shuffled → every stride spans full range
+    t = pa.table({"k": pa.array(k), "v": pa.array(rng.normal(size=n))})
+    cfg_plain = EncodeConfig(row_index_stride=4000)
+    cfg_sorted = EncodeConfig(row_index_stride=4000, sort_within_stripe="k")
+    buf_p, _ = encode_stripe(t, cfg_plain)
+    buf_s, _ = encode_stripe(t, cfg_sorted)
+    io_p, io_s = {}, {}
+    import pyarrow.compute as pc
+
+    pred = ("k", ">=", 36_000)
+    got_p = decode_stripe(buf_p, predicate=pred, io_stats=io_p)
+    got_s = decode_stripe(buf_s, predicate=pred, io_stats=io_s)
+    assert io_p["strides_read"] == 10       # shuffled: nothing prunable
+    assert io_s["strides_read"] == 1        # sorted: one stride qualifies
+    exp = set(k[k >= 36_000].tolist())
+    for got in (got_p, got_s):
+        sel = got.filter(pc.greater_equal(got.column("k"), 36_000))
+        assert set(sel.column("k").to_pylist()) == exp
