@@ -226,6 +226,32 @@ def _roundtrip_decimal38(sf_dir: str):
     return decode_dataset(out).map_batches(stringify, batch_format="pyarrow")
 
 
+def _json_struct_roundtrip(sf_dir: str):
+    """Real-data struct path: parse events.props JSON into a typed struct,
+    round-trip it through stripe struct streams, flatten for the oracle."""
+    import shutil
+
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
+    from apacheorcdotnet_ray.pipelines.text import parse_json_struct
+
+    out = _out_dir(sf_dir, "rt-json-struct")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        ds = parse_json_struct(
+            _read(sf_dir, "events", columns=["event_id", "props"]), "props")
+        encode_dataset(ds, out, batch_size=50_000).materialize()
+        open(os.path.join(out, "_done"), "w").close()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        rec = batch.column("props").combine_chunks()
+        return pa.table({"event_id": batch.column("event_id"),
+                         "k": rec.field("k")})
+
+    return decode_dataset(out).map_batches(unpack, batch_format="pyarrow")
+
+
 def _tokenize_roundtrip(sf_dir: str):
     from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_dataset
     from apacheorcdotnet_ray.pipelines.text import tokenize_documents
@@ -317,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_orders_zstd": lambda sf_dir: _roundtrip(sf_dir, "orders", "zstd"),
         "roundtrip_structs": _roundtrip_structs,
         "roundtrip_decimal38": _roundtrip_decimal38,
+        "json_struct_roundtrip": _json_struct_roundtrip,
         "predicate_scan": _predicate_scan,
         "predicate_scan_stride": _predicate_scan_stride,
         "tokenize_roundtrip": _tokenize_roundtrip,
@@ -501,6 +528,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "roundtrip_structs": (
             "SELECT event_id, user_id, event_type, value FROM events"
+        ),
+        "json_struct_roundtrip": (
+            "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events"
         ),
         "roundtrip_decimal38": (
             "SELECT o_orderkey, CAST(CAST((CAST(o_orderkey AS HUGEINT) + 1)"

@@ -385,3 +385,19 @@ def bm25_search(ds: rd.Dataset, query: str, k: int = 10,
 
     partials = ds.map_batches(score, batch_format="pyarrow")
     return partials.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def parse_json_struct(ds: rd.Dataset, col: str, id_col: str = "event_id") -> rd.Dataset:
+    """JSON-string column → typed Arrow struct column (polars json_decode,
+    Rust kernel — no per-row Python). The struct then flows through the
+    stripe container's recursive struct streams like any other column."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.select([col]))[col]
+        decoded = s.str.json_decode().to_frame().to_arrow()[col]
+        if isinstance(decoded, pa.ChunkedArray):
+            decoded = decoded.combine_chunks()
+        return pa.table({id_col: batch.column(id_col), col: decoded})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

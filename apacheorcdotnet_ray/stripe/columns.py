@@ -146,6 +146,12 @@ def encode_column(
     StringWriter.cs:155-175)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if config.column_overrides:
+        ov = config.column_overrides.get(name.split(".", 1)[0])
+        if ov:
+            from dataclasses import replace
+
+            config = replace(config, **ov, column_overrides={})
     stats = column_stats(arr)
     streams: list[Stream] = []
     n = len(arr)

@@ -42,5 +42,12 @@ class EncodeConfig:
     target_stripe_values: int = 4_000_000   # flattened values (e.g. tokens) per stripe
     target_stripe_rows: int = 100_000
 
+    # per-column overrides — the FluentSerialization per-property analog
+    # (reference FluentSerialization/*.cs, used at StripeWriter.cs:229-238):
+    # {"col_name": {any EncodeConfig field: value}}, applied to that top-
+    # level column and its nested children during encode. e.g.
+    # {"doc_id": {"string_codecs": ("direct",)}, "value": {"int_codecs": ("rlev2",)}}
+    column_overrides: dict = field(default_factory=dict)
+
     # output
     magic: bytes = b"ORAY1"

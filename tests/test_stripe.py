@@ -396,3 +396,23 @@ def test_sort_within_stripe_tightens_strides():
     for got in (got_p, got_s):
         sel = got.filter(pc.greater_equal(got.column("k"), 36_000))
         assert set(sel.column("k").to_pylist()) == exp
+
+
+def test_per_column_config_overrides():
+    rng = np.random.default_rng(31)
+    # low-cardinality string col: dict normally wins; override forces direct
+    t = pa.table({
+        "s": pa.array([f"v{int(x)}" for x in rng.integers(0, 4, 5000)]),
+        "i": pa.array(np.repeat(np.arange(50, dtype=np.int64), 100)),
+    })
+    buf_d, f_d = encode_stripe(t)
+    assert f_d["columns"][0]["encoding"] == "dict"
+    cfg = EncodeConfig(column_overrides={
+        "s": {"string_codecs": ("direct",), "enable_fsst": False,
+              "dictionary_threshold": 0.0},
+        "i": {"int_codecs": ("rlev2",)},
+    })
+    buf_o, f_o = encode_stripe(t, cfg)
+    assert f_o["columns"][0]["encoding"] == "direct"
+    assert f_o["columns"][1]["encoding"] == "rlev2"
+    assert decode_stripe(buf_o).equals(t)
