@@ -262,6 +262,42 @@ def _encode_values(name: str, valid: pa.Array, config: EncodeConfig,
         streams.extend(child_streams)
         return f"list[{child_enc}]"
 
+    if pa.types.is_dictionary(t):
+        # dictionary-typed (categorical) input: encode the logical values —
+        # the string/int dict codecs re-discover the dictionary anyway, and
+        # decode rebuilds the categorical type from the stored schema
+        child_enc, child_streams, _ = encode_column(
+            f"{name}.values", valid.cast(t.value_type), config, fsst_tables)
+        streams.extend(child_streams)
+        return f"cat[{child_enc}]"
+
+    if pa.types.is_fixed_size_list(t):
+        # fixed-size list (embedding vectors): no LENGTH stream needed —
+        # the width lives in the type; child values encode flattened
+        child = valid.flatten()
+        child_enc, child_streams, _ = encode_column(
+            f"{name}.item", child, config, fsst_tables)
+        streams.extend(child_streams)
+        return f"flist[{child_enc}]"
+
+    if pa.types.is_map(t):
+        # map<k,v> is physically list<struct<key,value>> — reuse the list
+        # LENGTH stream + recursive struct child encode
+        offsets = valid.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offsets)
+        codec, enc = _encode_int_data(lengths, config, signed=False)
+        streams.append(Stream(name, LENGTH, codec, enc, nv, {"signed": False}))
+        # .keys/.items return the FULL child arrays with absolute offsets —
+        # slice to this array's window
+        lo, hi = int(offsets[0]), int(offsets[-1])
+        kv = pa.StructArray.from_arrays(
+            [valid.keys.slice(lo, hi - lo), valid.items.slice(lo, hi - lo)],
+            names=["key", "value"])
+        child_enc, child_streams, _ = encode_column(
+            f"{name}.entries", kv, config, fsst_tables)
+        streams.extend(child_streams)
+        return f"map[{child_enc}]"
+
     if pa.types.is_struct(t):
         # struct: no DATA stream of its own (nulls already peeled into the
         # struct-level PRESENT stream); each child field encodes recursively
@@ -435,6 +471,28 @@ def _decode_values(name: str, t: pa.DataType, by_kind: dict, child_streams: list
             np.int64 if pa.types.is_large_list(t) else np.int32)
         cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
         return cls.from_arrays(pa.array(offsets), child)
+
+    if pa.types.is_dictionary(t):
+        values = decode_column(pa.field(f"{name}.values", t.value_type),
+                               child_streams, nv)
+        return values.dictionary_encode().cast(t)
+
+    if pa.types.is_fixed_size_list(t):
+        child = decode_column(pa.field(f"{name}.item", t.value_type),
+                              child_streams, nv * t.list_size)
+        return pa.FixedSizeListArray.from_arrays(child, t.list_size)
+
+    if pa.types.is_map(t):
+        lengths = _decode_int_data(by_kind[LENGTH])
+        n_child = int(lengths.sum())
+        entries = decode_column(
+            pa.field(f"{name}.entries",
+                     pa.struct([("key", t.key_type), ("value", t.item_type)])),
+            child_streams, n_child)
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        return pa.MapArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            entries.field(0), entries.field(1))
 
     if pa.types.is_struct(t):
         children = []

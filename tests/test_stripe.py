@@ -416,3 +416,28 @@ def test_per_column_config_overrides():
     assert f_o["columns"][0]["encoding"] == "direct"
     assert f_o["columns"][1]["encoding"] == "rlev2"
     assert decode_stripe(buf_o).equals(t)
+
+
+def test_map_dictionary_fixedsizelist_roundtrip():
+    rng = np.random.default_rng(41)
+    n = 2000
+    maps = [None if i % 11 == 0 else
+            {f"k{j}": int(rng.integers(0, 100)) for j in range(i % 4)}
+            for i in range(n)]
+    cats = pa.array([f"c{int(x)}" for x in rng.integers(0, 6, n)]).dictionary_encode()
+    vecs = pa.FixedSizeListArray.from_arrays(
+        pa.array(rng.normal(size=n * 8).astype(np.float32)), 8)
+    t = pa.table({
+        "m": pa.array(maps, type=pa.map_(pa.string(), pa.int64())),
+        "cat": cats,
+        "vec": vecs,
+    })
+    buf, footer = encode_stripe(t)
+    encs = {c["name"]: c["encoding"] for c in footer["columns"]}
+    assert encs["m"].startswith("map[")
+    assert encs["cat"].startswith("cat[")
+    assert encs["vec"].startswith("flist[")
+    out = decode_stripe(buf)
+    assert out.equals(t), out.schema
+    # projection still prunes
+    assert decode_stripe(buf, columns=["cat"]).column("cat").equals(t.column("cat"))
