@@ -218,31 +218,51 @@ def decode_stripe(
         if io_stats is not None:
             io_stats["strides_total"] = len(stride_rows)
             io_stats["strides_read"] = len(sel)
-        cols = {}
-        fields = []
-        for field_ in schema:
-            if columns is not None and field_.name not in columns:
-                continue
-            metas = col_metas(field_.name)
+
+        def decode_field(field_):
             by_stride: dict[int, list[dict]] = {}
-            for m in metas:
+            for m in col_metas(field_.name):
                 by_stride.setdefault(m["stride"], []).append(m)
             chunks = [
                 decode_column(field_, [make_stream(m) for m in by_stride.get(si, [])],
                               stride_rows[si])
                 for si in sel
             ]
-            cols[field_.name] = pa.chunked_array(chunks, type=field_.type) \
+            return pa.chunked_array(chunks, type=field_.type) \
                 if chunks else pa.chunked_array([], type=field_.type)
-            fields.append(field_)
-        return pa.table(cols, schema=pa.schema(fields))
+    else:
+        def decode_field(field_):
+            streams = [make_stream(m) for m in col_metas(field_.name)]
+            return decode_column(field_, streams, n_rows)
 
-    arrays = []
-    fields = []
-    for field_ in schema:
-        if columns is not None and field_.name not in columns:
-            continue
-        streams = [make_stream(m) for m in col_metas(field_.name)]
-        arrays.append(decode_column(field_, streams, n_rows))
-        fields.append(field_)
-    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+    proj = [f for f in schema if columns is None or f.name in columns]
+    out_schema = pa.schema(proj)
+
+    # late materialization (CompressDB-style compressed-scan refinement,
+    # PAPERS.md SIGMOD 2022): decode the predicate column FIRST, and only
+    # materialize the remaining columns for stripes/strides where rows
+    # actually match — a selective scan never decodes non-matching data
+    decoded: dict[str, object] = {}
+    mask = None
+    if predicate is not None and any(f.name == predicate[0] for f in proj):
+        import pyarrow.compute as pc
+
+        pred_field = next(f for f in proj if f.name == predicate[0])
+        arr = decode_field(pred_field)
+        decoded[pred_field.name] = arr
+        fns = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+               ">=": pc.greater_equal, "==": pc.equal, "!=": pc.not_equal}
+        try:
+            mask = fns[predicate[1]](arr, pa.scalar(predicate[2]))
+            if not pc.any(mask).as_py():
+                return out_schema.empty_table()
+        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                pa.ArrowNotImplementedError, TypeError, KeyError):
+            mask = None  # incomparable literal/op → decode everything
+
+    cols = {f.name: decoded[f.name] if f.name in decoded else decode_field(f)
+            for f in proj}
+    tbl = pa.table(cols, schema=out_schema)
+    if mask is not None:
+        tbl = tbl.filter(mask)  # non-matching rows never leave the task
+    return tbl

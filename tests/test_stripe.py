@@ -441,3 +441,26 @@ def test_map_dictionary_fixedsizelist_roundtrip():
     assert out.equals(t), out.schema
     # projection still prunes
     assert decode_stripe(buf, columns=["cat"]).column("cat").equals(t.column("cat"))
+
+
+def test_late_materialization_skips_nonmatching_decode():
+    rng = np.random.default_rng(51)
+    n = 30_000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "payload": pa.array([rng.bytes(100).hex() for _ in range(n)]),  # expensive
+    })
+    buf, _ = encode_stripe(t)
+    io_none, io_all = {}, {}
+    out = decode_stripe(buf, predicate=("k", ">", 10**9), io_stats=io_none)
+    assert out.num_rows == 0
+    decode_stripe(buf, io_stats=io_all)
+    # only the predicate column was decompressed on the no-match path
+    assert io_none["bytes_decompressed"] < io_all["bytes_decompressed"] / 10
+    # matching path returns pre-filtered rows
+    part = decode_stripe(buf, predicate=("k", "<", 100))
+    assert part.num_rows == 100
+    assert part.column("k").to_pylist() == list(range(100))
+    # incomparable literal degrades to full decode
+    full = decode_stripe(buf, predicate=("payload", "<", 5))
+    assert full.num_rows == n
