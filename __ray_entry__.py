@@ -75,6 +75,21 @@ def _ann_ivf_indexed(sf_dir: str):
     return similarity.ivf_search(idx, q[None, :], k=10)
 
 
+def _footer_stats_lineitem(sf_dir: str):
+    """Aggregate pushdown to metadata: the stats_lineitem answer computed
+    ONLY from stripe footers (tail reads) — no data decompressed."""
+    from apacheorcdotnet_ray.pipelines import stats
+    from apacheorcdotnet_ray.pipelines.encode import encode_corpus
+
+    out = _out_dir(sf_dir, "rt-lineitem")
+    encode_corpus([_table_path(sf_dir, "lineitem")], out)  # resume-aware
+    return stats.stats_from_footers(
+        out,
+        int_columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        float_columns=["l_quantity", "l_extendedprice"],
+    )
+
+
 def _quantile_median(sf_dir: str):
     import pyarrow as pa
 
@@ -354,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             int_columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
             float_columns=["l_quantity", "l_extendedprice"],
         ),
+        "footer_stats_lineitem": _footer_stats_lineitem,
         "stats_by_source": lambda sf_dir: stats.group_stats_by(
             _read(sf_dir, "documents", columns=["source", "n_chars"]), "source", "n_chars"
         ),
@@ -547,6 +563,20 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "stats_lineitem": (
+            "SELECT count(*) AS n_rows,"
+            " min(l_orderkey) AS l_orderkey_min, max(l_orderkey) AS l_orderkey_max,"
+            " CAST(sum(l_orderkey) AS BIGINT) AS l_orderkey_sum,"
+            " min(l_partkey) AS l_partkey_min, max(l_partkey) AS l_partkey_max,"
+            " CAST(sum(l_partkey) AS BIGINT) AS l_partkey_sum,"
+            " min(l_suppkey) AS l_suppkey_min, max(l_suppkey) AS l_suppkey_max,"
+            " CAST(sum(l_suppkey) AS BIGINT) AS l_suppkey_sum,"
+            " min(l_linenumber) AS l_linenumber_min, max(l_linenumber) AS l_linenumber_max,"
+            " CAST(sum(l_linenumber) AS BIGINT) AS l_linenumber_sum,"
+            " min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max,"
+            " min(l_extendedprice) AS l_extendedprice_min, max(l_extendedprice) AS l_extendedprice_max"
+            " FROM lineitem"
+        ),
+        "footer_stats_lineitem": (
             "SELECT count(*) AS n_rows,"
             " min(l_orderkey) AS l_orderkey_min, max(l_orderkey) AS l_orderkey_max,"
             " CAST(sum(l_orderkey) AS BIGINT) AS l_orderkey_sum,"

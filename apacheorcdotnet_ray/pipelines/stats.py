@@ -393,3 +393,58 @@ def sliding_windowed_agg(ds: rd.Dataset, ts_col: str = "ts",
         .groupby(["window_start", key])
         .aggregate(Sum("p_sum", alias_name="sum_millis"), Sum("p_cnt", alias_name="n_events"))
     )
+
+
+def stats_from_footers(stripe_dir: str, int_columns: list[str],
+                       float_columns: list[str] = ()) -> pa.Table:
+    """Aggregate pushdown to metadata: n_rows + per-column min/max/sum
+    answered ENTIRELY from stripe footers (tail-only reads) — zero data
+    segments decompressed, zero rows decoded. Same output shape as
+    ``stats_row``, so the two are interchangeable; footers carry exact int
+    sums (overflow-poisoned to null like the reference) and exact min/max.
+
+    Fans out footer reads as Ray tasks above a few hundred stripes (same
+    threshold as prune_stripes)."""
+    from ..sources.stripes import read_stripe_footer, stripe_paths
+
+    paths = stripe_paths(stripe_dir)
+
+    def col_stats_of(path: str) -> dict:
+        f = read_stripe_footer(path)
+        return {c["name"]: c["stats"] for c in f["columns"]}
+
+    if len(paths) > 256:
+        import ray
+
+        @ray.remote(num_cpus=0.25)
+        def chunk_stats(chunk: list[str]) -> list[dict]:
+            return [col_stats_of(p) for p in chunk]
+
+        chunks = [paths[i : i + 64] for i in range(0, len(paths), 64)]
+        per_stripe = [s for sub in ray.get([chunk_stats.remote(c) for c in chunks])
+                      for s in sub]
+    else:
+        per_stripe = [col_stats_of(p) for p in paths]
+
+    wanted = list(int_columns) + list(float_columns)
+    merged: dict[str, dict | None] = {c: None for c in wanted}
+    n_rows = 0
+    for st in per_stripe:
+        first = next(iter(st.values()), None)
+        if first:
+            n_rows += first.get("count", 0)
+        for c in wanted:
+            if c in st:
+                merged[c] = merge_stats(merged[c], st[c])
+
+    out: dict[str, list] = {"n_rows": [n_rows]}
+    for c in int_columns:
+        m = merged[c] or {}
+        out[f"{c}_min"] = [m.get("min")]
+        out[f"{c}_max"] = [m.get("max")]
+        out[f"{c}_sum"] = [m.get("sum")]
+    for c in float_columns:
+        m = merged[c] or {}
+        out[f"{c}_min"] = [m.get("min")]
+        out[f"{c}_max"] = [m.get("max")]
+    return pa.table(out)
