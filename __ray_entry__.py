@@ -167,6 +167,21 @@ def _predicate_scan_stride(sf_dir: str):
     )
 
 
+def _predicate_scan_conj(sf_dir: str):
+    """Conjunction pushdown: two predicate terms prune stripes+strides and
+    late-materialize together."""
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus
+    from apacheorcdotnet_ray.stripe import EncodeConfig
+
+    out = _out_dir(sf_dir, "rt-lineitem-stride")
+    encode_corpus([_table_path(sf_dir, "lineitem")], out,
+                  config=EncodeConfig(row_index_stride=10_000))
+    return decode_dataset(
+        out, columns=["l_orderkey", "l_partkey", "l_quantity"],
+        predicate=[("l_orderkey", "<=", 5000), ("l_quantity", ">=", 30.0)],
+    )
+
+
 def _roundtrip_structs(sf_dir: str):
     """Struct column round-trip: pack events columns into a (nested) struct,
     encode to stripes, decode, unpack back to flat columns."""
@@ -361,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_struct_roundtrip": _json_struct_roundtrip,
         "predicate_scan": _predicate_scan,
         "predicate_scan_stride": _predicate_scan_stride,
+        "predicate_scan_conj": _predicate_scan_conj,
         "tokenize_roundtrip": _tokenize_roundtrip,
         "grouped_encode_roundtrip": _grouped_roundtrip,
         # --- statistics (partial+final aggregation tree) ---
@@ -541,6 +557,10 @@ def oracle_sql() -> dict[str, str]:
         "predicate_scan_stride": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
             " WHERE l_orderkey <= 5000"
+        ),
+        "predicate_scan_conj": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+            " WHERE l_orderkey <= 5000 AND l_quantity >= 30.0"
         ),
         "roundtrip_structs": (
             "SELECT event_id, user_id, event_type, value FROM events"

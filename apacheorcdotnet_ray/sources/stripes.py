@@ -52,14 +52,18 @@ def read_stripe_footer(path: str) -> dict:
 from ..stripe.stats import maybe_satisfies as _maybe_satisfies
 
 
-def _prune_one(path: str, predicate: tuple) -> bool:
-    col, op, lit = predicate
+def _prune_one(path: str, predicate) -> bool:
+    from ..stripe.container import normalize_predicate
+
     footer = read_stripe_footer(path)
-    stats = next((c["stats"] for c in footer["columns"] if c["name"] == col), {})
-    return _maybe_satisfies(stats, op, lit)
+    for col, op, lit in normalize_predicate(predicate):
+        stats = next((c["stats"] for c in footer["columns"] if c["name"] == col), {})
+        if not _maybe_satisfies(stats, op, lit):
+            return False
+    return True
 
 
-def prune_stripes(paths: list[str], predicate: tuple) -> list[str]:
+def prune_stripes(paths: list[str], predicate) -> list[str]:
     """Stat-based stripe pruning via tail-only footer reads; fans out as Ray
     tasks above a few hundred files (a big corpus has far more stripes than
     a serial driver scan should touch)."""
@@ -118,15 +122,25 @@ def unified_schema(paths: list[str]) -> "pa.Schema":
 def read_stripes(
     stripe_dir: str,
     columns: list[str] | None = None,
-    predicate: tuple | None = None,
+    predicate=None,
     unify_schema: bool = False,
 ) -> rd.Dataset:
-    """predicate: optional (column, op, literal); stripes whose footer stats
-    exclude it are never read, and surviving batches are filtered exactly.
-    unify_schema=True tolerates schema-evolved stripe sets: every batch
-    conforms to the union of all footers' schemas, with columns missing
-    from a stripe decoded as typed nulls."""
-    import pyarrow as pa  # noqa: F401  (type refs in helpers)
+    """predicate: one (column, op, literal) triple or a LIST of them (a
+    conjunction); stripes whose footer stats exclude any term are never
+    read, row-indexed stripes additionally skip non-qualifying strides,
+    the decode task late-materializes (predicate columns decode first and
+    non-matching rows never leave the task), and surviving batches get the
+    exact filter. unify_schema=True tolerates schema-evolved stripe sets:
+    every batch conforms to the union of all footers' schemas, with columns
+    missing from a stripe decoded as typed nulls."""
+    import pyarrow as pa
+
+    from ..stripe.container import normalize_predicate
+
+    preds = normalize_predicate(predicate)
+    for p in preds:
+        if p[1] not in _OPS:
+            raise ValueError(f"unsupported predicate op {p[1]}")
 
     paths = stripe_paths(stripe_dir)
     if not paths:
@@ -134,41 +148,39 @@ def read_stripes(
     target_schema = unified_schema(paths) if unify_schema else None
     if target_schema is not None and columns is not None:
         keep = [c for c in columns if c in target_schema.names]
-        if predicate is not None and predicate[0] in target_schema.names \
-                and predicate[0] not in keep:
-            keep = keep + [predicate[0]]
+        for p in preds:
+            if p[0] in target_schema.names and p[0] not in keep:
+                keep = keep + [p[0]]
         target_schema = pa.schema([target_schema.field(c) for c in keep])
-    if predicate is not None:
-        if predicate[1] not in _OPS:
-            raise ValueError(f"unsupported predicate op {predicate[1]}")
-        paths = prune_stripes(paths, predicate)
+    if preds:
+        paths = prune_stripes(paths, preds)
         if not paths:
-            import pyarrow as pa
-
             return rd.from_arrow(pa.table({}))
     read_cols = columns
-    if predicate is not None and columns is not None and predicate[0] not in columns:
-        read_cols = list(columns) + [predicate[0]]
+    if preds and columns is not None:
+        extra = [p[0] for p in preds if p[0] not in columns]
+        if extra:
+            read_cols = list(columns) + sorted(set(extra), key=extra.index)
     ds = rd.read_binary_files(paths)
     # stateless → plain-function task pool; the predicate additionally skips
     # non-qualifying strides inside row-indexed stripes (ROW_INDEX analog)
-    decoder = StripeDecoder(columns=read_cols, predicate=predicate,
+    decoder = StripeDecoder(columns=read_cols, predicate=preds or None,
                             schema=target_schema)
     ds = ds.map_batches(
         decoder.__call__,
         batch_format="pyarrow",
         batch_size=None,  # one input file is already a full stripe
     )
-    if predicate is not None:
-        import pyarrow as pa
+    if preds:
         import pyarrow.compute as pc
 
-        col, op, lit = predicate
         fns = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
                ">=": pc.greater_equal, "==": pc.equal, "!=": pc.not_equal}
 
         def exact_filter(batch: pa.Table) -> pa.Table:
-            out = batch.filter(fns[op](batch.column(col), pa.scalar(lit)))
+            out = batch
+            for col, op, lit in preds:
+                out = out.filter(fns[op](out.column(col), pa.scalar(lit)))
             return out.select(columns) if columns is not None else out
 
         ds = ds.map_batches(exact_filter, batch_format="pyarrow")

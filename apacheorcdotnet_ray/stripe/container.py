@@ -150,16 +150,29 @@ def footer_schema(footer: dict) -> pa.Schema:
     return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema"])))
 
 
-def qualifying_strides(footer: dict, predicate: tuple) -> list[int]:
-    """Stride indexes whose per-stride [min, max] could satisfy (col, op,
-    lit). Columns without a row index qualify every stride (conservative)."""
+def normalize_predicate(predicate) -> list[tuple]:
+    """One (col, op, lit) triple or a list of them (conjunction) → list."""
+    if predicate is None:
+        return []
+    if isinstance(predicate, tuple) and len(predicate) == 3 \
+            and isinstance(predicate[1], str):
+        return [predicate]
+    return list(predicate)
+
+
+def qualifying_strides(footer: dict, predicate) -> list[int]:
+    """Stride indexes whose per-stride [min, max] could satisfy EVERY
+    (col, op, lit) in the conjunction. Columns without a row index qualify
+    every stride (conservative)."""
     n_strides = len(footer.get("stride_rows", []))
-    col, op, lit = predicate
-    meta = next((c for c in footer["columns"] if c["name"] == col), None)
-    ri = (meta or {}).get("row_index")
-    if not ri:
-        return list(range(n_strides))
-    return [i for i, st in enumerate(ri) if maybe_satisfies(st, op, lit)]
+    keep = list(range(n_strides))
+    for col, op, lit in normalize_predicate(predicate):
+        meta = next((c for c in footer["columns"] if c["name"] == col), None)
+        ri = (meta or {}).get("row_index")
+        if not ri:
+            continue
+        keep = [i for i in keep if maybe_satisfies(ri[i], op, lit)]
+    return keep
 
 
 def decode_stripe(
@@ -244,21 +257,25 @@ def decode_stripe(
     # actually match — a selective scan never decodes non-matching data
     decoded: dict[str, object] = {}
     mask = None
-    if predicate is not None and any(f.name == predicate[0] for f in proj):
+    preds = [p for p in normalize_predicate(predicate)
+             if any(f.name == p[0] for f in proj)]
+    if preds:
         import pyarrow.compute as pc
 
-        pred_field = next(f for f in proj if f.name == predicate[0])
-        arr = decode_field(pred_field)
-        decoded[pred_field.name] = arr
         fns = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
                ">=": pc.greater_equal, "==": pc.equal, "!=": pc.not_equal}
-        try:
-            mask = fns[predicate[1]](arr, pa.scalar(predicate[2]))
+        for col, op, lit in preds:
+            pred_field = next(f for f in proj if f.name == col)
+            if col not in decoded:
+                decoded[col] = decode_field(pred_field)
+            try:
+                m = fns[op](decoded[col], pa.scalar(lit))
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError, TypeError, KeyError):
+                continue  # incomparable literal/op → this term can't refine
+            mask = m if mask is None else pc.and_kleene(mask, m)
             if not pc.any(mask).as_py():
                 return out_schema.empty_table()
-        except (pa.ArrowInvalid, pa.ArrowTypeError,
-                pa.ArrowNotImplementedError, TypeError, KeyError):
-            mask = None  # incomparable literal/op → decode everything
 
     cols = {f.name: decoded[f.name] if f.name in decoded else decode_field(f)
             for f in proj}

@@ -435,3 +435,32 @@ def test_cli_encode_inspect_decode(ray_session, tmp_path):
     b = pq.read_table(out)
     assert b.sort_by("r_regionkey").select(a.column_names).equals(
         a.sort_by("r_regionkey").cast(b.select(a.column_names).schema))
+
+
+def test_conjunction_predicate_read(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset
+    from apacheorcdotnet_ray.stripe import EncodeConfig, encode_stripe
+
+    d = tmp_path / "conj"
+    d.mkdir()
+    rng = np.random.default_rng(61)
+    for s in range(4):
+        n = 5000
+        t = pa.table({
+            "k": pa.array(np.arange(s * n, (s + 1) * n, dtype=np.int64)),
+            "v": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        })
+        buf, _ = encode_stripe(t, EncodeConfig(row_index_stride=1000))
+        (d / f"s{s}.oray").write_bytes(buf)
+
+    preds = [("k", ">=", 7000), ("k", "<", 9000), ("v", ">=", 50)]
+    df = decode_dataset(str(d), predicate=preds).to_pandas()
+    assert (df["k"] >= 7000).all() and (df["k"] < 9000).all()
+    assert (df["v"] >= 50).all()
+    assert len(df) > 0
+    # single-tuple form still works
+    one = decode_dataset(str(d), predicate=("k", "==", 123)).to_pandas()
+    assert one["k"].tolist() == [123]
