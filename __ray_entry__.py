@@ -167,6 +167,29 @@ def _predicate_scan_stride(sf_dir: str):
     )
 
 
+def _predicate_scan_sorted(sf_dir: str):
+    """Key-clustered corpus: distributed sort by user_id before encoding,
+    so stripe footer ranges are disjoint and a point/range predicate
+    prunes nearly every stripe at the tail read."""
+    import shutil
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_sorted
+    from apacheorcdotnet_ray.stripe import EncodeConfig
+
+    out = _out_dir(sf_dir, "rt-events-sorted")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+        encode_sorted(ds, out, by="user_id",
+                      config=EncodeConfig(row_index_stride=2000),
+                      batch_size=2000).materialize()
+        open(os.path.join(out, "_done"), "w").close()
+    return decode_dataset(
+        out, columns=["event_id", "user_id"],
+        predicate=[("user_id", ">=", 100), ("user_id", "<", 120)],
+    )
+
+
 def _predicate_scan_conj(sf_dir: str):
     """Conjunction pushdown: two predicate terms prune stripes+strides and
     late-materialize together."""
@@ -377,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predicate_scan": _predicate_scan,
         "predicate_scan_stride": _predicate_scan_stride,
         "predicate_scan_conj": _predicate_scan_conj,
+        "predicate_scan_sorted": _predicate_scan_sorted,
         "tokenize_roundtrip": _tokenize_roundtrip,
         "grouped_encode_roundtrip": _grouped_roundtrip,
         # --- statistics (partial+final aggregation tree) ---
@@ -561,6 +585,10 @@ def oracle_sql() -> dict[str, str]:
         "predicate_scan_conj": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
             " WHERE l_orderkey <= 5000 AND l_quantity >= 30.0"
+        ),
+        "predicate_scan_sorted": (
+            "SELECT event_id, user_id FROM events"
+            " WHERE user_id >= 100 AND user_id < 120"
         ),
         "roundtrip_structs": (
             "SELECT event_id, user_id, event_type, value FROM events"

@@ -395,3 +395,25 @@ def encode_corpus(
     summary = {**totals, "column_stats": file_stats}
     manifest.finalize(summary)
     return summary
+
+
+def encode_sorted(
+    ds: rd.Dataset,
+    out_dir: str,
+    by: str,
+    config: EncodeConfig | None = None,
+    batch_size: int | None = None,
+) -> rd.Dataset:
+    """Globally key-clustered corpus: one distributed range sort (Ray's
+    sort — the only all-to-all this job performs), then streaming encode of
+    the range-partitioned blocks. Stripe footer min/max ranges on ``by``
+    come out (near-)disjoint, so predicate reads on that key prune almost
+    every stripe — pick ONE partitioning key and every downstream scan,
+    compaction, and stride index reuses it."""
+    from dataclasses import replace
+
+    config = config or EncodeConfig()
+    if config.sort_within_stripe is None:
+        config = replace(config, sort_within_stripe=by)
+    return encode_dataset(ds.sort(by), out_dir, config=config,
+                          batch_size=batch_size)
