@@ -432,6 +432,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf_dir: stats.sessionize(
             _read(sf_dir, "events", columns=["user_id", "ts"])),
         "quantile_median": _quantile_median,
+        "group_quantile": lambda sf_dir: stats.group_quantile(
+            _read(sf_dir, "events", columns=["event_type", "value"]),
+            "event_type", "value", q=0.5),
+        "pivot_event_counts": lambda sf_dir: stats.pivot_counts(
+            _read(sf_dir, "events", columns=["user_id", "event_type"]),
+            "user_id", "event_type",
+            ["click", "error", "purchase", "signup", "view"]),
         "json_extract": lambda sf_dir: text.extract_json_field(
             _read(sf_dir, "events", columns=["event_id", "props"]), "props", "k"),
         # --- joins ---
@@ -698,6 +705,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quantile_median": (
             "SELECT quantile_disc(value, 0.5) AS median FROM events"
+        ),
+        "group_quantile": (
+            "SELECT event_type, quantile_disc(value, 0.5) AS q50"
+            " FROM events GROUP BY event_type"
+        ),
+        "pivot_event_counts": (
+            "SELECT user_id,"
+            + ",".join(
+                f" CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_{c}"
+                for c in ("click", "error", "purchase", "signup", "view"))
+            + " FROM events GROUP BY user_id"
         ),
         "json_extract": (
             "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events"

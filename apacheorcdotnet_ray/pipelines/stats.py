@@ -448,3 +448,51 @@ def stats_from_footers(stripe_dir: str, int_columns: list[str],
         out[f"{c}_min"] = [m.get("min")]
         out[f"{c}_max"] = [m.get("max")]
     return pa.table(out)
+
+
+def pivot_counts(ds: rd.Dataset, key: str, pivot_col: str,
+                 categories: list[str]) -> rd.Dataset:
+    """Pivot: one row per ``key`` with a count column per category of
+    ``pivot_col``. The category list is explicit (schema must be static);
+    per-batch vectorized one-hot partial counts, then one grouped sum —
+    the shuffle moves one partial row per (batch, key)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    cat_names = [f"n_{c}" for c in categories]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key)}
+        for c, name in zip(categories, cat_names):
+            cols[name] = pc.equal(batch.column(pivot_col), c).cast(pa.int64())
+        t = pa.table(cols)
+        g = t.group_by(key).aggregate([(n, "sum") for n in cat_names])
+        return g.rename_columns([key] + cat_names)
+
+    aggs = [Sum(n, alias_name=n) for n in cat_names]
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(key).aggregate(*aggs)
+
+
+def group_quantile(ds: rd.Dataset, key: str, value_col: str, q: float = 0.5,
+                   num_partitions: int = 64) -> rd.Dataset:
+    """Per-group exact discrete quantile (quantile_disc semantics: the
+    value at ceil(q*n)-1 in sorted order). Groups co-locate via bounded
+    hash partitions; within a partition one sort + vectorized per-group
+    index pick."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _grouped_map
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, value_col], kind="mergesort")
+        sizes = df.groupby(key, sort=False)[value_col].transform("size").to_numpy()
+        target = np.maximum(np.ceil(q * sizes).astype(np.int64) - 1, 0)
+        take = df.groupby(key, sort=False).cumcount().to_numpy() == target
+        out = df[take][[key, value_col]]
+        return out.rename(columns={value_col: f"q{int(q * 100)}"})
+
+    return _grouped_map(ds.select_columns([key, value_col]), [key], pick,
+                        num_partitions)
