@@ -55,10 +55,12 @@ def encode_dataset(
 def decode_dataset(
     stripe_dir: str, columns: list[str] | None = None,
     predicate: tuple | None = None, unify_schema: bool = False,
+    on_error: str = "raise",
 ) -> rd.Dataset:
     from ..sources.stripes import read_stripes
 
-    return read_stripes(stripe_dir, columns, predicate, unify_schema=unify_schema)
+    return read_stripes(stripe_dir, columns, predicate,
+                        unify_schema=unify_schema, on_error=on_error)
 
 
 # ---------------------------------------------------------------------------

@@ -124,6 +124,7 @@ def read_stripes(
     columns: list[str] | None = None,
     predicate=None,
     unify_schema: bool = False,
+    on_error: str = "raise",
 ) -> rd.Dataset:
     """predicate: one (column, op, literal) triple or a LIST of them (a
     conjunction); stripes whose footer stats exclude any term are never
@@ -165,7 +166,7 @@ def read_stripes(
     # stateless → plain-function task pool; the predicate additionally skips
     # non-qualifying strides inside row-indexed stripes (ROW_INDEX analog)
     decoder = StripeDecoder(columns=read_cols, predicate=preds or None,
-                            schema=target_schema)
+                            schema=target_schema, on_error=on_error)
     ds = ds.map_batches(
         decoder.__call__,
         batch_format="pyarrow",

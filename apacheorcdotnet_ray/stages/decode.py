@@ -16,7 +16,8 @@ from ..stripe.container import decode_stripe
 class StripeDecoder:
     def __init__(self, columns: list[str] | None = None,
                  predicate: tuple | None = None,
-                 schema: pa.Schema | None = None):
+                 schema: pa.Schema | None = None,
+                 on_error: str = "raise"):
         self.columns = columns
         # (col, op, lit): on row-indexed stripes, skips non-qualifying
         # strides before decompression; caller still applies the exact filter
@@ -26,6 +27,12 @@ class StripeDecoder:
         # from a stripe decode as typed nulls; present-but-narrower columns
         # cast up. None = stripes are schema-homogeneous.
         self.schema = schema
+        # "raise" (default: a corrupt stripe fails the task, Ray retries) |
+        # "skip" (log + drop the stripe — the operational mode for huge
+        # corpora where one rotten file must not kill a day-long job; the
+        # skip count is visible in Ray's captured task logs)
+        assert on_error in ("raise", "skip")
+        self.on_error = on_error
 
     def _conform(self, table: pa.Table) -> pa.Table:
         cols = {}
@@ -44,8 +51,19 @@ class StripeDecoder:
             for p in batch.column("path").to_pylist():
                 with open(p, "rb") as f:
                     blobs.append(f.read())
-        tables = [decode_stripe(b, columns=self.columns, predicate=self.predicate)
-                  for b in blobs]
+        tables = []
+        skipped = 0
+        for b in blobs:
+            try:
+                tables.append(decode_stripe(b, columns=self.columns,
+                                            predicate=self.predicate))
+            except (ValueError, KeyError) as e:
+                if self.on_error != "skip":
+                    raise
+                skipped += 1
+                print(f"StripeDecoder: skipping corrupt stripe ({e})")
+        if skipped:
+            print(f"StripeDecoder: skipped {skipped}/{len(blobs)} stripes in batch")
         if self.schema is not None:
             tables = [self._conform(t) for t in tables]
         if not tables:

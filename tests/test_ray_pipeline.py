@@ -464,3 +464,29 @@ def test_conjunction_predicate_read(ray_session, tmp_path):
     # single-tuple form still works
     one = decode_dataset(str(d), predicate=("k", "==", 123)).to_pandas()
     assert one["k"].tolist() == [123]
+
+
+def test_skip_corrupt_stripe(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from apacheorcdotnet_ray.sources.stripes import read_stripes
+    from apacheorcdotnet_ray.stripe import encode_stripe
+
+    d = tmp_path / "mixcorrupt"
+    d.mkdir()
+    for s in range(3):
+        t = pa.table({"k": pa.array(np.arange(s * 100, (s + 1) * 100, dtype=np.int64))})
+        buf, _ = encode_stripe(t)
+        if s == 1:  # corrupt a data byte (CRC will catch it)
+            b = bytearray(buf)
+            b[10] ^= 0xFF
+            buf = bytes(b)
+        (d / f"s{s}.oray").write_bytes(buf)
+
+    with pytest.raises(Exception):
+        read_stripes(str(d)).to_pandas()  # default: loud failure
+    df = read_stripes(str(d), on_error="skip").to_pandas()
+    assert len(df) == 200  # corrupt stripe dropped, others intact
+    assert set(df["k"]) == set(range(100)) | set(range(200, 300))
