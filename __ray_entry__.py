@@ -99,6 +99,31 @@ def _quantile_median(sf_dir: str):
     return pa.table({"median": pa.array([v], type=pa.float64())})
 
 
+def _keyed(sf_dir: str, table: str, col: str):
+    import pyarrow as pa
+
+    return _read(sf_dir, table, columns=[col]).map_batches(
+        lambda b: pa.table({"key": b.column(col)}), batch_format="pyarrow")
+
+
+def _set_intersect(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.setops import intersect, to_arrow_table
+
+    return to_arrow_table(
+        intersect(_keyed(sf_dir, "customer", "c_custkey"),
+                  _keyed(sf_dir, "orders", "o_custkey"), ["key"]))
+
+
+def _set_except(sf_dir: str):
+    # result may be EMPTY (every customer ordered) — to_arrow_table keeps
+    # the schema where Dataset.to_pandas would drop the columns
+    from apacheorcdotnet_ray.pipelines.setops import except_, to_arrow_table
+
+    return to_arrow_table(
+        except_(_keyed(sf_dir, "customer", "c_custkey"),
+                _keyed(sf_dir, "orders", "o_custkey"), ["key"]))
+
+
 def _broadcast_join(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -442,6 +467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": lambda sf_dir: text.extract_json_field(
             _read(sf_dir, "events", columns=["event_id", "props"]), "props", "k"),
         # --- joins ---
+        "set_intersect": _set_intersect,
+        "set_except": _set_except,
         "broadcast_join": _broadcast_join,
         "hash_join": _hash_join,
         "asof_join": _asof_join,
@@ -720,6 +747,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "json_extract": (
             "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events"
+        ),
+        "set_intersect": (
+            "SELECT c_custkey AS key FROM customer"
+            " INTERSECT SELECT o_custkey AS key FROM orders"
+        ),
+        "set_except": (
+            "SELECT c_custkey AS key FROM customer"
+            " EXCEPT SELECT o_custkey AS key FROM orders"
         ),
         "broadcast_join": (
             "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name"

@@ -93,3 +93,18 @@ def test_bm25_log_variant(ray_session):
     assert len(out) == 3
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_set_ops(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.setops import except_, intersect, to_arrow_table
+
+    a = rd.from_arrow(pa.table({"key": pa.array([1, 2, 3, 3], type=pa.int64())}))
+    b = rd.from_arrow(pa.table({"key": pa.array([2, 3, 4], type=pa.int64())}))
+    assert sorted(to_arrow_table(intersect(a, b, ["key"])).column("key").to_pylist()) == [2, 3]
+    assert to_arrow_table(except_(a, b, ["key"])).column("key").to_pylist() == [1]
+    # empty result keeps the typed schema
+    empty = to_arrow_table(except_(b, b, ["key"]))
+    assert empty.num_rows == 0 and empty.schema.names == ["key"]
