@@ -124,6 +124,21 @@ def _set_except(sf_dir: str):
                 _keyed(sf_dir, "orders", "o_custkey"), ["key"]))
 
 
+def _set_union(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.setops import to_arrow_table, union_distinct
+
+    return to_arrow_table(
+        union_distinct(_keyed(sf_dir, "customer", "c_custkey"),
+                       _keyed(sf_dir, "orders", "o_custkey"), ["key"]))
+
+
+def _distinct_sources(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.setops import distinct, to_arrow_table
+
+    return to_arrow_table(
+        distinct(_read(sf_dir, "documents", columns=["source"]), ["source"]))
+
+
 def _broadcast_join(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -469,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- joins ---
         "set_intersect": _set_intersect,
         "set_except": _set_except,
+        "set_union": _set_union,
+        "distinct_sources": _distinct_sources,
         "broadcast_join": _broadcast_join,
         "hash_join": _hash_join,
         "asof_join": _asof_join,
@@ -752,6 +769,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS key FROM customer"
             " INTERSECT SELECT o_custkey AS key FROM orders"
         ),
+        "set_union": (
+            "SELECT c_custkey AS key FROM customer"
+            " UNION SELECT o_custkey AS key FROM orders"
+        ),
+        "distinct_sources": "SELECT DISTINCT source FROM documents",
         "set_except": (
             "SELECT c_custkey AS key FROM customer"
             " EXCEPT SELECT o_custkey AS key FROM orders"

@@ -72,3 +72,26 @@ def except_(a: rd.Dataset, b: rd.Dataset, cols: list[str],
 
     return _schema_seed(a, cols).union(
         _grouped_map(_tagged_union(a, b, cols), cols, part, num_partitions))
+
+
+def distinct(ds: rd.Dataset, cols: list[str], num_partitions: int = 64) -> rd.Dataset:
+    """SELECT DISTINCT over the projected columns (bounded hash partitions,
+    vectorized drop_duplicates per partition)."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    proj = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+    return _schema_seed(ds, cols).union(
+        _grouped_map(proj, cols, part, num_partitions))
+
+
+def union_distinct(a: rd.Dataset, b: rd.Dataset, cols: list[str],
+                   num_partitions: int = 64) -> rd.Dataset:
+    """SQL UNION (distinct rows of both sides)."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].drop_duplicates()
+
+    return _schema_seed(a, cols).union(
+        _grouped_map(_tagged_union(a, b, cols), cols, part, num_partitions))
