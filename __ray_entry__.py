@@ -178,6 +178,25 @@ def _hash_join(sf_dir: str):
     )
 
 
+def _semi_join(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.joins import semi_join
+
+    return semi_join(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        "c_custkey", "o_custkey")
+
+
+def _anti_join(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines.joins import anti_join
+
+    return anti_join(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]),
+        _read(sf_dir, "orders", columns=["o_orderkey"]).filter(
+            lambda r: r["o_orderkey"] % 3 == 0),
+        "l_orderkey", "o_orderkey")
+
+
 def _predicate_scan(sf_dir: str):
     """Stat-pruned decode: stripes whose footer min/max exclude the predicate
     are never read (the ORC ROW_INDEX analog)."""
@@ -488,6 +507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": _distinct_sources,
         "broadcast_join": _broadcast_join,
         "hash_join": _hash_join,
+        "semi_join": _semi_join,
+        "anti_join": _anti_join,
         "asof_join": _asof_join,
         "range_join_follow": _range_join_follow,
         # --- text analysis ---
@@ -788,6 +809,15 @@ def oracle_sql() -> dict[str, str]:
             " ON b.user_id = a.user_id AND b.ts > a.ts"
             "  AND b.ts <= a.ts + INTERVAL 1 HOUR"
             " GROUP BY a.event_id"
+        ),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer"
+            " WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "anti_join": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem"
+            " WHERE l_orderkey NOT IN"
+            "  (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)"
         ),
         "hash_join": (
             "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,"

@@ -242,3 +242,34 @@ def hash_join(
         .groupby("_pk")
         .map_groups(merge_part, batch_format="pyarrow")
     )
+
+
+def semi_join(ds: rd.Dataset, keys_ds: rd.Dataset, left_on: str,
+              right_on: str, anti: bool = False) -> rd.Dataset:
+    """Semi (or anti) join: keep left rows whose key appears (or doesn't)
+    in the right side. The right side reduces to its DISTINCT key set
+    first (a bounded-partition distinct — only keys shuffle), which then
+    broadcasts once via ray.put and filters per batch with pc.is_in; the
+    big left side never shuffles. For right key sets too large to
+    broadcast, fall back to hash_join + drop (repartition path)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .setops import distinct, to_arrow_table
+
+    keys = to_arrow_table(distinct(keys_ds, [right_on])).column(right_on)
+    ref = ray.put(keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = ray.get(ref)
+        mask = pc.is_in(batch.column(left_on), value_set=vals)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def anti_join(ds: rd.Dataset, keys_ds: rd.Dataset, left_on: str,
+              right_on: str) -> rd.Dataset:
+    return semi_join(ds, keys_ds, left_on, right_on, anti=True)
