@@ -226,6 +226,21 @@ def _predicate_scan_stride(sf_dir: str):
     )
 
 
+def _predicate_scan_bloom(sf_dir: str):
+    """Point lookup with per-stripe Bloom filters: equality pruning on an
+    unclustered key that min/max stats cannot exclude."""
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus
+    from apacheorcdotnet_ray.stripe import EncodeConfig
+
+    out = _out_dir(sf_dir, "rt-lineitem-bloom")
+    encode_corpus([_table_path(sf_dir, "lineitem")], out,
+                  config=EncodeConfig(bloom_columns=("l_partkey",)))
+    return decode_dataset(
+        out, columns=["l_orderkey", "l_partkey", "l_quantity"],
+        predicate=("l_partkey", "==", 577),
+    )
+
+
 def _predicate_scan_sorted(sf_dir: str):
     """Key-clustered corpus: distributed sort by user_id before encoding,
     so stripe footer ranges are disjoint and a point/range predicate
@@ -460,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predicate_scan_stride": _predicate_scan_stride,
         "predicate_scan_conj": _predicate_scan_conj,
         "predicate_scan_sorted": _predicate_scan_sorted,
+        "predicate_scan_bloom": _predicate_scan_bloom,
         "tokenize_roundtrip": _tokenize_roundtrip,
         "grouped_encode_roundtrip": _grouped_roundtrip,
         # --- statistics (partial+final aggregation tree) ---
@@ -661,6 +677,10 @@ def oracle_sql() -> dict[str, str]:
         "predicate_scan_sorted": (
             "SELECT event_id, user_id FROM events"
             " WHERE user_id >= 100 AND user_id < 120"
+        ),
+        "predicate_scan_bloom": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+            " WHERE l_partkey = 577"
         ),
         "roundtrip_structs": (
             "SELECT event_id, user_id, event_type, value FROM events"

@@ -53,13 +53,21 @@ from ..stripe.stats import maybe_satisfies as _maybe_satisfies
 
 
 def _prune_one(path: str, predicate) -> bool:
+    from ..stripe import bloom as bloom_mod
     from ..stripe.container import normalize_predicate
 
     footer = read_stripe_footer(path)
+    bloom_ok = footer.get("bloom_hash") == bloom_mod.hash_version()
     for col, op, lit in normalize_predicate(predicate):
-        stats = next((c["stats"] for c in footer["columns"] if c["name"] == col), {})
-        if not _maybe_satisfies(stats, op, lit):
+        meta = next((c for c in footer["columns"] if c["name"] == col), {})
+        if not _maybe_satisfies(meta.get("stats", {}), op, lit):
             return False
+        # equality predicates additionally probe the per-stripe bloom (when
+        # written under the same hash version) — prunes point lookups on
+        # unclustered keys that min/max cannot
+        if op == "==" and bloom_ok and "bloom" in meta:
+            if not bloom_mod.might_contain(meta["bloom"], lit):
+                return False
     return True
 
 

@@ -31,6 +31,13 @@ class EncodeConfig:
     # predicate reads decompress only qualifying strides within a surviving
     # stripe instead of every stream. None = single-segment streams.
     row_index_stride: int | None = None
+    # per-stripe Bloom filters for these columns (ORC-spec feature the C#
+    # reference lacks): ~1% false-positive filters in the footer let
+    # equality predicates prune stripes that min/max cannot (point lookups
+    # on unclustered keys). Advisory — readers under a different polars
+    # hash version ignore them.
+    bloom_columns: tuple[str, ...] = ()
+
     # sort rows by this column within each stripe before encoding: stride
     # min/max ranges become disjoint, so predicate reads skip maximally
     # (also improves RLE run lengths on correlated columns). Stripe-local —

@@ -115,6 +115,17 @@ def encode_stripe(
             columns_meta.append({"name": name, "encoding": enc_name, "stats": stats})
             emit(streams, None)
 
+    if config.bloom_columns:
+        from . import bloom as bloom_mod
+
+        for meta in columns_meta:
+            if meta["name"] in config.bloom_columns:
+                col = table.column(meta["name"])
+                valid = col.combine_chunks().drop_null() \
+                    if isinstance(col, pa.ChunkedArray) else col.drop_null()
+                if len(valid):
+                    meta["bloom"] = bloom_mod.build(valid)
+
     footer = {
         "version": FORMAT_VERSION,
         "rows": table.num_rows,
@@ -124,6 +135,10 @@ def encode_stripe(
         "streams": stream_dir,
         "data_length": len(out),
     }
+    if config.bloom_columns:
+        from . import bloom as bloom_mod
+
+        footer["bloom_hash"] = bloom_mod.hash_version()
     if stride:
         footer["row_index_stride"] = stride
         footer["stride_rows"] = stride_rows

@@ -464,3 +464,36 @@ def test_late_materialization_skips_nonmatching_decode():
     # incomparable literal degrades to full decode
     full = decode_stripe(buf, predicate=("payload", "<", 5))
     assert full.num_rows == n
+
+
+def test_bloom_filter_prunes_point_lookups(tmp_path):
+    from apacheorcdotnet_ray.sources.stripes import prune_stripes
+    from apacheorcdotnet_ray.stripe import bloom as bloom_mod
+
+    rng = np.random.default_rng(71)
+    # unclustered keys: every stripe's [min, max] overlaps the whole range,
+    # so min/max pruning keeps everything; the bloom must do the work
+    all_keys = rng.permutation(100_000)[:20_000].astype(np.int64)
+    stripes = np.array_split(all_keys, 4)
+    d = tmp_path / "bloomed"
+    d.mkdir()
+    cfg = EncodeConfig(bloom_columns=("k",))
+    for i, ks in enumerate(stripes):
+        t = pa.table({"k": pa.array(ks), "v": pa.array(ks * 2)})
+        buf, footer = encode_stripe(t, cfg)
+        assert "bloom" in footer["columns"][0]
+        (d / f"s{i}.oray").write_bytes(buf)
+
+    paths = sorted(str(p) for p in d.glob("*.oray"))
+    target = int(stripes[2][7])
+    kept = prune_stripes(paths, ("k", "==", target))
+    assert str(d / "s2.oray") in kept
+    assert len(kept) <= 2, f"bloom should prune most stripes, kept {len(kept)}"
+    # absent key: usually everything pruned (1% fp per stripe)
+    absent = 10_000_000
+    kept_absent = prune_stripes(paths, ("k", "==", absent))
+    assert len(kept_absent) <= 1
+    # direct unit check
+    b = bloom_mod.build(pa.array([1, 2, 3], type=pa.int64()))
+    assert bloom_mod.might_contain(b, 2)
+    assert not bloom_mod.might_contain(b, 999_999)
