@@ -32,7 +32,9 @@ def cmd_encode(args) -> int:
 
     _ensure_ray()
     cfg = EncodeConfig(compression=args.compression,
-                       row_index_stride=args.stride)
+                       row_index_stride=args.stride,
+                       bloom_columns=tuple(args.bloom.split(",")) if args.bloom else (),
+                       sort_within_stripe=args.sort_within_stripe)
     summary = encode_corpus(args.inputs, args.out_dir, config=cfg)
     print(json.dumps({k: summary[k] for k in
                       ("rows", "raw_bytes", "encoded_bytes", "stripes")
@@ -115,6 +117,10 @@ def main(argv=None) -> int:
                    choices=["zlib", "zstd", "none"])
     e.add_argument("--stride", type=int, default=None,
                    help="row_index_stride (enables per-stride ROW_INDEX)")
+    e.add_argument("--bloom", default=None, metavar="col1,col2",
+                   help="per-stripe Bloom filters for equality pruning")
+    e.add_argument("--sort-within-stripe", default=None, metavar="col",
+                   help="sort rows by col inside each stripe (tighter strides)")
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode", help=".oray stripes -> parquet")

@@ -95,3 +95,34 @@ def pack_sequences(
 
     return _grouped_map(ds.select_columns([id_col, tokens_col]), [id_col],
                         pack, num_partitions)
+
+
+def iter_training_batches(stripe_dir: str, seq_len: int = 2048,
+                          batch_rows: int = 32, pad_id: int = 0,
+                          tokens_col: str = "tokens", id_col: str = "doc_id",
+                          num_partitions: int = 64):
+    """The training-loop consumer: stream an encoded stripe corpus as dense
+    (batch_rows, seq_len) int32 matrices + per-row real-token counts.
+
+    decode (column-pruned) → pack_sequences → iter_batches: the whole chain
+    is a lazy streaming pipeline with backpressure, so the trainer pulls
+    batches while decode/pack of later stripes is still running — nothing
+    materializes beyond Ray's object store."""
+    import numpy as np
+
+    from .encode import decode_dataset
+
+    ds = decode_dataset(stripe_dir, columns=[id_col, tokens_col])
+    packed = pack_sequences(ds, seq_len=seq_len, tokens_col=tokens_col,
+                            id_col=id_col, pad_id=pad_id,
+                            num_partitions=num_partitions)
+    for b in packed.iter_batches(batch_size=batch_rows, batch_format="pyarrow"):
+        toks = b.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        if hasattr(toks, "flatten"):  # plain list<int32>
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+        else:  # Ray tensor-extension array (fixed-shape rows)
+            flat = np.asarray(toks.to_numpy(zero_copy_only=False)).ravel()
+        mat = flat.astype(np.int32, copy=False).reshape(len(toks), seq_len)
+        yield mat, b.column("n_tokens").to_numpy(zero_copy_only=False)

@@ -108,3 +108,26 @@ def test_set_ops(ray_session):
     # empty result keeps the typed schema
     empty = to_arrow_table(except_(b, b, ["key"]))
     assert empty.num_rows == 0 and empty.schema.names == ["key"]
+
+
+def test_iter_training_batches(ray_session, tmp_path):
+    import numpy as np
+
+    from apacheorcdotnet_ray.pipelines.encode import encode_dataset
+    from apacheorcdotnet_ray.pipelines.pack import iter_training_batches
+
+    ds = _docs(120)
+    total = sum(len(r["tokens"]) for r in ds.take_all())
+    out = str(tmp_path / "stripes")
+    encode_dataset(ds.select_columns(["doc_id", "tokens"]), out,
+                   batch_size=40).materialize()
+    seen_tokens = 0
+    n_rows = 0
+    for mat, n_tok in iter_training_batches(out, seq_len=64, batch_rows=8,
+                                            num_partitions=4):
+        assert mat.dtype == np.int32 and mat.shape[1] == 64
+        assert len(n_tok) == mat.shape[0]
+        seen_tokens += int(n_tok.sum())
+        n_rows += mat.shape[0]
+    assert seen_tokens == total     # every token exactly once
+    assert n_rows >= total // 64
