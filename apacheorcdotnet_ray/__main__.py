@@ -56,8 +56,8 @@ def cmd_decode(args) -> int:
         predicate = (col, op, lit)
     columns = args.columns.split(",") if args.columns else None
     ds = decode_dataset(args.stripe_dir, columns=columns, predicate=predicate,
-                        unify_schema=args.unify_schema)
-    ds.write_parquet(args.out)
+                        unify_schema=args.unify_schema).materialize()
+    ds.write_parquet(args.out)  # materialized: decode runs once, not per consumer
     print(json.dumps({"rows": ds.count(), "out": args.out}))
     return 0
 

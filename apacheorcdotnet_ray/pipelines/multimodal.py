@@ -187,15 +187,19 @@ class FeatureExtractor:
         hist = np.bincount(item_of * self.bins + flat // self.div,
                            minlength=n * self.bins).reshape(n, self.bins)
         feats = (hist / safe[:, None]).astype(np.float32)
-        # clip trailing-empty-segment starts (reduceat rejects index == len)
-        starts = np.minimum(offs[:-1], max(len(flat) - 1, 0))
+        # reduceat only over NONEMPTY segments: their starts are strictly
+        # increasing and < len(flat), and the span from one nonempty start
+        # to the next covers exactly that segment (empty segments in
+        # between contribute zero length). Clamping starts instead would
+        # corrupt the last nonempty segment when trailing items are empty.
         fl = flat.astype(np.float64)
-        sums = np.add.reduceat(fl, starts) if len(flat) else np.zeros(n)
-        sqs = np.add.reduceat(fl * fl, starts) if len(flat) else np.zeros(n)
-        # reduceat quirk: an empty segment copies the next element — zero it
-        empty = counts == 0
-        sums[empty] = 0.0
-        sqs[empty] = 0.0
+        nonempty = counts > 0
+        sums = np.zeros(n)
+        sqs = np.zeros(n)
+        if nonempty.any():
+            starts_ne = offs[:-1][nonempty]
+            sums[nonempty] = np.add.reduceat(fl, starts_ne)
+            sqs[nonempty] = np.add.reduceat(fl * fl, starts_ne)
         means = sums / safe
         stds = np.sqrt(np.maximum(sqs / safe - means * means, 0.0))
         emb = pa.ListArray.from_arrays(
@@ -366,22 +370,25 @@ def audio_features(ds: rd.Dataset, batch_size: int = 64) -> rd.Dataset:
         n = len(arr)
         counts = np.diff(offs)
         safe = np.maximum(counts, 1).astype(np.float64)
-        starts = np.minimum(offs[:-1], max(len(flat) - 1, 0))
-        sqs = np.add.reduceat(flat * flat, starts) if len(flat) else np.zeros(n)
+        # reduceat only over nonempty clips (clamped starts would corrupt
+        # the last nonempty clip when trailing clips are empty)
+        nonempty = counts > 0
+        sqs = np.zeros(n)
+        if nonempty.any():
+            sqs[nonempty] = np.add.reduceat(flat * flat, offs[:-1][nonempty])
         sign_flip = (np.signbit(flat[1:]) != np.signbit(flat[:-1])).astype(np.float64) \
             if len(flat) > 1 else np.zeros(0)
         # crossings within a clip only: zero the flat positions that straddle
-        # clip boundaries, then reduceat per clip
+        # clip boundaries, then reduceat per clip (clips of >=2 samples —
+        # shorter ones have zero crossings by definition)
+        zc = np.zeros(n)
         if len(sign_flip):
             boundary = offs[1:-1] - 1
             boundary = boundary[(boundary >= 0) & (boundary < len(sign_flip))]
             sign_flip[boundary] = 0.0
-            zc = np.add.reduceat(sign_flip, np.minimum(starts, len(sign_flip) - 1))
-        else:
-            zc = np.zeros(n)
-        empty = counts == 0
-        sqs[empty] = 0.0
-        zc[empty] = 0.0
+            multi = counts >= 2
+            if multi.any():
+                zc[multi] = np.add.reduceat(sign_flip, offs[:-1][multi])
         rates = batch.column("sample_rate").to_numpy().astype(np.float64)
         return pa.table({
             "media_id": batch.column("media_id"),

@@ -81,8 +81,12 @@ def pack_sequences(
             np.searchsorted(bounds, np.minimum(cuts[1:], total), side="left") - 1,
             len(lens) - 1)
         n_tok = np.minimum(cuts[1:], total) - cuts[:-1]
+        # only docs whose start survives truncation (drop mode cuts the
+        # remainder at n_seq*seq_len; an unfiltered bound would emit
+        # doc_starts >= seq_len pointing at dropped docs)
+        kept = min(total, n_seq * seq_len)
         doc_starts = [
-            (bounds[:-1][(start_seq == i) & (bounds[:-1] < total)] - cuts[i]).astype(np.int32)
+            (bounds[:-1][(start_seq == i) & (bounds[:-1] < kept)] - cuts[i]).astype(np.int32)
             for i in range(n_seq)
         ]
         return pd.DataFrame({

@@ -398,41 +398,28 @@ def sliding_windowed_agg(ds: rd.Dataset, ts_col: str = "ts",
 def stats_from_footers(stripe_dir: str, int_columns: list[str],
                        float_columns: list[str] = ()) -> pa.Table:
     """Aggregate pushdown to metadata: n_rows + per-column min/max/sum
-    answered ENTIRELY from stripe footers (tail-only reads) — zero data
-    segments decompressed, zero rows decoded. Same output shape as
-    ``stats_row``, so the two are interchangeable; footers carry exact int
-    sums (overflow-poisoned to null like the reference) and exact min/max.
-
-    Fans out footer reads as Ray tasks above a few hundred stripes (same
-    threshold as prune_stripes)."""
-    from ..sources.stripes import read_stripe_footer, stripe_paths
+    answered ENTIRELY from stripe footers (tail-only reads, Ray-task
+    fan-out via map_footers) — zero data segments decompressed, zero rows
+    decoded. Same output shape as ``stats_row``. Footers carry exact int
+    sums (overflow-poisoned to null like the reference) and exact int/
+    float/string min/max; decimal footer bounds are one-ULP widened (see
+    stripe/stats.py), so don't feed decimal columns here expecting
+    exactness."""
+    from ..sources.stripes import map_footers, read_stripe_footer, stripe_paths
 
     paths = stripe_paths(stripe_dir)
 
-    def col_stats_of(path: str) -> dict:
+    def stripe_summary(path: str) -> tuple[int, dict]:
         f = read_stripe_footer(path)
-        return {c["name"]: c["stats"] for c in f["columns"]}
+        return f["rows"], {c["name"]: c["stats"] for c in f["columns"]}
 
-    if len(paths) > 256:
-        import ray
-
-        @ray.remote(num_cpus=0.25)
-        def chunk_stats(chunk: list[str]) -> list[dict]:
-            return [col_stats_of(p) for p in chunk]
-
-        chunks = [paths[i : i + 64] for i in range(0, len(paths), 64)]
-        per_stripe = [s for sub in ray.get([chunk_stats.remote(c) for c in chunks])
-                      for s in sub]
-    else:
-        per_stripe = [col_stats_of(p) for p in paths]
+    per_stripe = map_footers(paths, stripe_summary)
 
     wanted = list(int_columns) + list(float_columns)
     merged: dict[str, dict | None] = {c: None for c in wanted}
     n_rows = 0
-    for st in per_stripe:
-        first = next(iter(st.values()), None)
-        if first:
-            n_rows += first.get("count", 0)
+    for rows, st in per_stripe:
+        n_rows += rows  # the footer's authoritative row count
         for c in wanted:
             if c in st:
                 merged[c] = merge_stats(merged[c], st[c])

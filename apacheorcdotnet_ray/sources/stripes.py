@@ -58,34 +58,52 @@ def _prune_one(path: str, predicate) -> bool:
 
     footer = read_stripe_footer(path)
     bloom_ok = footer.get("bloom_hash") == bloom_mod.hash_version()
+    schema = None
     for col, op, lit in normalize_predicate(predicate):
         meta = next((c for c in footer["columns"] if c["name"] == col), {})
         if not _maybe_satisfies(meta.get("stats", {}), op, lit):
             return False
         # equality predicates additionally probe the per-stripe bloom (when
         # written under the same hash version) — prunes point lookups on
-        # unclustered keys that min/max cannot
+        # unclustered keys that min/max cannot. The literal is cast to the
+        # column's footer-schema type first (polars hashes 577 and 577.0
+        # differently — a raw-literal probe could false-negative).
         if op == "==" and bloom_ok and "bloom" in meta:
-            if not bloom_mod.might_contain(meta["bloom"], lit):
+            if schema is None:
+                from ..stripe.container import footer_schema
+
+                schema = footer_schema(footer)
+            try:
+                col_type = schema.field(col).type
+            except KeyError:
+                col_type = None
+            if not bloom_mod.might_contain(meta["bloom"], lit, col_type):
                 return False
     return True
 
 
-def prune_stripes(paths: list[str], predicate) -> list[str]:
-    """Stat-based stripe pruning via tail-only footer reads; fans out as Ray
-    tasks above a few hundred files (a big corpus has far more stripes than
-    a serial driver scan should touch)."""
-    if len(paths) > 256:
+def map_footers(paths: list[str], fn, chunk_size: int = 64,
+                fan_out_threshold: int = 256) -> list:
+    """Apply ``fn(path)`` per stripe (tail-only footer work), fanning out as
+    Ray tasks above the threshold — a big corpus has far more stripes than
+    a serial driver scan should touch. The single shared implementation for
+    pruning, schema unification, and footer-stat aggregation."""
+    if len(paths) > fan_out_threshold:
         import ray
 
         @ray.remote(num_cpus=0.25)
-        def check(chunk: list[str]) -> list[bool]:
-            return [_prune_one(p, predicate) for p in chunk]
+        def run(chunk: list[str]) -> list:
+            return [fn(p) for p in chunk]
 
-        chunks = [paths[i : i + 64] for i in range(0, len(paths), 64)]
-        flags = [f for sub in ray.get([check.remote(c) for c in chunks]) for f in sub]
-        return [p for p, f in zip(paths, flags) if f]
-    return [p for p in paths if _prune_one(p, predicate)]
+        chunks = [paths[i : i + chunk_size] for i in range(0, len(paths), chunk_size)]
+        return [r for sub in ray.get([run.remote(c) for c in chunks]) for r in sub]
+    return [fn(p) for p in paths]
+
+
+def prune_stripes(paths: list[str], predicate) -> list[str]:
+    """Stat/bloom-based stripe pruning via tail-only footer reads."""
+    flags = map_footers(paths, lambda p: _prune_one(p, predicate))
+    return [p for p, f in zip(paths, flags) if f]
 
 
 def unified_schema(paths: list[str]) -> "pa.Schema":
@@ -95,23 +113,12 @@ def unified_schema(paths: list[str]) -> "pa.Schema":
     above a few hundred files, like prune_stripes."""
     import pyarrow as pa
 
-    if len(paths) > 256:
-        import ray
+    from ..stripe.container import footer_schema
 
-        from ..stripe.container import footer_schema
-
-        @ray.remote(num_cpus=0.25)
-        def schemas(chunk: list[str]) -> list[bytes]:
-            return [footer_schema(read_stripe_footer(p)).serialize().to_pybytes()
-                    for p in chunk]
-
-        chunks = [paths[i : i + 64] for i in range(0, len(paths), 64)]
-        blobs = [b for sub in ray.get([schemas.remote(c) for c in chunks]) for b in sub]
-        schema_list = [pa.ipc.read_schema(pa.py_buffer(b)) for b in blobs]
-    else:
-        from ..stripe.container import footer_schema
-
-        schema_list = [footer_schema(read_stripe_footer(p)) for p in paths]
+    blobs = map_footers(
+        paths,
+        lambda p: footer_schema(read_stripe_footer(p)).serialize().to_pybytes())
+    schema_list = [pa.ipc.read_schema(pa.py_buffer(b)) for b in blobs]
     seen: dict[str, "pa.Field"] = {}
     for s in schema_list:
         for f in s:
@@ -156,6 +163,10 @@ def read_stripes(
         raise FileNotFoundError(f"no .oray stripes under {stripe_dir}")
     target_schema = unified_schema(paths) if unify_schema else None
     if target_schema is not None and columns is not None:
+        unknown = [c for c in columns if c not in target_schema.names]
+        if unknown:
+            raise ValueError(
+                f"columns {unknown} exist in no stripe's schema under {stripe_dir}")
         keep = [c for c in columns if c in target_schema.names]
         for p in preds:
             if p[0] in target_schema.names and p[0] not in keep:
@@ -188,6 +199,10 @@ def read_stripes(
 
         def exact_filter(batch: pa.Table) -> pa.Table:
             out = batch
+            if out.num_rows == 0 and not out.column_names:
+                # schema-less empty block: every stripe of the task was
+                # skipped (on_error="skip") — nothing to filter or project
+                return out
             for col, op, lit in preds:
                 out = out.filter(fns[op](out.column(col), pa.scalar(lit)))
             return out.select(columns) if columns is not None else out

@@ -57,7 +57,9 @@ class StripeDecoder:
             try:
                 tables.append(decode_stripe(b, columns=self.columns,
                                             predicate=self.predicate))
-            except (ValueError, KeyError) as e:
+            except Exception as e:  # noqa: BLE001 — skip means skip: footer
+                # corruption raises zlib.error/json errors, stream corruption
+                # ValueError; all of them must not kill a skip-mode job
                 if self.on_error != "skip":
                     raise
                 skipped += 1
@@ -67,5 +69,7 @@ class StripeDecoder:
         if self.schema is not None:
             tables = [self._conform(t) for t in tables]
         if not tables:
+            if self.schema is not None:
+                return self.schema.empty_table()
             return pa.table({})
         return pa.concat_tables(tables)

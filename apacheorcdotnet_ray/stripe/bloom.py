@@ -57,10 +57,26 @@ def build(values, bits_per_value: int = 10, max_bits: int = 1 << 16,
             "bits": base64.b64encode(bits.tobytes()).decode()}
 
 
-def might_contain(bloom: dict, literal) -> bool:
-    """Probe for one literal; True on any doubt (advisory filter)."""
+def might_contain(bloom: dict, literal, arrow_type=None) -> bool:
+    """Probe for one literal; True on any doubt (advisory filter).
+
+    ``arrow_type`` (the column's type from the footer schema) is REQUIRED
+    for a meaningful probe whenever the literal's Python-inferred dtype
+    could differ from the column's: polars hashes 577 (Int64) and 577.0
+    (Float64) differently, so probing with the raw literal would produce a
+    FALSE NEGATIVE — silently pruning stripes that contain matching rows.
+    The literal is cast to the column type first; any cast failure or
+    value change (577.9 → int would truncate) degrades to True."""
+    import pyarrow as pa
+
     try:
-        h = np.uint64(_hashes([literal])[0])
+        if arrow_type is not None:
+            arr = pa.array([literal]).cast(arrow_type)
+            if arr[0].as_py() != literal:  # lossy cast → can't trust probe
+                return True
+            h = np.uint64(_hashes(arr)[0])
+        else:
+            h = np.uint64(_hashes([literal])[0])
     except Exception:
         return True
     m = np.uint64(bloom["m"])

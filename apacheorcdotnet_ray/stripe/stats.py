@@ -113,7 +113,13 @@ def merge_stats(a: dict | None, b: dict | None) -> dict:
         va, vb = a.get(key), b.get(key)
         present = [v for v in (va, vb) if v is not None]
         if present:
-            out[key] = fn(present) if len(present) == 2 else present[0]
+            try:
+                out[key] = fn(present) if len(present) == 2 else present[0]
+            except TypeError:
+                # mixed stat forms (e.g. one stripe's timestamps stored as
+                # ISO strings, another's as the extreme-value int fallback)
+                # → drop the bound; absent stats mean conservative no-prune
+                pass
     if "sum" in a or "sum" in b:
         sa, sb = a.get("sum"), b.get("sum")
         if sa is None and "sum" in a or sb is None and "sum" in b:

@@ -124,3 +124,37 @@ def test_audio_pipeline(ray_session):
     assert (df["duration_s"] > 0.05).all() and (df["duration_s"] < 0.5).all()
     assert (df["rms"] > 1000).all()          # sine at 0.6 FS
     assert (df["zcr"] > 0).all() and (df["zcr"] < 0.5).all()
+
+
+def test_feature_stats_with_trailing_empty_item(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.pipelines.multimodal import FeatureExtractor
+
+    fx = FeatureExtractor()
+    batch = pa.table({
+        "media_id": pa.array([1, 2], type=pa.int64()),
+        "pixels": pa.array([list(range(10)), []], type=pa.list_(pa.uint8())),
+    })
+    out = fx(batch)
+    assert abs(out.column("mean_pixel")[0].as_py() - 4.5) < 1e-12
+    assert out.column("mean_pixel")[1].as_py() == 0.0
+
+
+def test_audio_features_trailing_empty_clip(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.multimodal import audio_features
+
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([1, 2], type=pa.int64()),
+        "sample_rate": pa.array([8000, 8000], type=pa.int32()),
+        "samples": pa.array([[100, -100, 100, -100], []],
+                            type=pa.list_(pa.int16())),
+    }))
+    df = audio_features(ds).to_pandas().sort_values("media_id")
+    assert abs(df["rms"].iloc[0] - 100.0) < 1e-9
+    assert df["zcr"].iloc[0] == 3 / 4
+    assert df["rms"].iloc[1] == 0.0 and df["zcr"].iloc[1] == 0.0

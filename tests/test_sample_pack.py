@@ -131,3 +131,20 @@ def test_iter_training_batches(ray_session, tmp_path):
         n_rows += mat.shape[0]
     assert seen_tokens == total     # every token exactly once
     assert n_rows >= total // 64
+
+
+def test_pack_drop_mode_doc_starts_within_sequence(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.pack import pack_sequences
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "tokens": pa.array([[1] * 4, [2] * 4, [3], [4] * 2],
+                           type=pa.list_(pa.int32())),
+    }))
+    rows = pack_sequences(ds, seq_len=4, pad_id=None, num_partitions=1).take_all()
+    for r in rows:
+        for s in r["doc_starts"]:
+            assert 0 <= s < 4, r

@@ -497,3 +497,27 @@ def test_bloom_filter_prunes_point_lookups(tmp_path):
     b = bloom_mod.build(pa.array([1, 2, 3], type=pa.int64()))
     assert bloom_mod.might_contain(b, 2)
     assert not bloom_mod.might_contain(b, 999_999)
+
+
+def test_bloom_probe_type_mismatch_no_false_negative():
+    from apacheorcdotnet_ray.stripe import bloom as bloom_mod
+
+    b_int = bloom_mod.build(pa.array([577, 1000], type=pa.int64()))
+    # float literal against int64 column: must cast-and-match, never prune
+    assert bloom_mod.might_contain(b_int, 577.0, pa.int64())
+    assert not bloom_mod.might_contain(b_int, 9999, pa.int64())
+    assert bloom_mod.might_contain(b_int, 577.9, pa.int64())  # lossy → keep
+    b_f32 = bloom_mod.build(pa.array([1.5, 2.5], type=pa.float32()))
+    assert bloom_mod.might_contain(b_f32, 1.5, pa.float32())
+
+
+def test_merge_stats_mixed_timestamp_forms():
+    from apacheorcdotnet_ray.stripe.stats import merge_stats
+
+    a = {"count": 2, "null_count": 0, "min": "2020-01-01 00:00:00",
+         "max": "2020-06-01 00:00:00"}
+    b = {"count": 2, "null_count": 0, "min": 900000000000000000,
+         "max": 990000000000000000}
+    m = merge_stats(a, b)  # must not raise; bounds dropped conservatively
+    assert m["count"] == 4
+    assert "min" not in m and "max" not in m
