@@ -410,6 +410,25 @@ def _grouped_roundtrip(sf_dir: str):
     return decode_dataset(out).select_columns(["doc_id", "n_tok", "source"])
 
 
+def _grouped_source_scan(sf_dir: str):
+    """Lineage partition pruning: the grouped corpus stamps each stripe
+    with its source; a per-source read touches only those stripes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apacheorcdotnet_ray.sources.stripes import read_stripes
+
+    _grouped_roundtrip(sf_dir)  # ensure the grouped corpus exists (cached)
+    out = _out_dir(sf_dir, "rt-grouped")
+    ds = read_stripes(out, columns=["doc_id", "n_tok", "source"],
+                      lineage_filter={"source": "src3"})
+
+    def exact(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("source"), "src3"))
+
+    return ds.map_batches(exact, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline, the north-star shape end-to-end: documents →
     tokenize (vectorized map_batches) → source-keyed skew-split stripe
@@ -478,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predicate_scan_bloom": _predicate_scan_bloom,
         "tokenize_roundtrip": _tokenize_roundtrip,
         "grouped_encode_roundtrip": _grouped_roundtrip,
+        "grouped_source_scan": _grouped_source_scan,
         # --- statistics (partial+final aggregation tree) ---
         "stats_lineitem": lambda sf_dir: stats.stats_row(
             _read(sf_dir, "lineitem"),
@@ -701,6 +721,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
             " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, source"
             " FROM documents"
+        ),
+        "grouped_source_scan": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+            " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, source"
+            " FROM documents WHERE source = 'src3'"
         ),
         "stats_lineitem": (
             "SELECT count(*) AS n_rows,"

@@ -140,6 +140,7 @@ def read_stripes(
     predicate=None,
     unify_schema: bool = False,
     on_error: str = "raise",
+    lineage_filter: dict | None = None,
 ) -> rd.Dataset:
     """predicate: one (column, op, literal) triple or a LIST of them (a
     conjunction); stripes whose footer stats exclude any term are never
@@ -161,6 +162,22 @@ def read_stripes(
     paths = stripe_paths(stripe_dir)
     if not paths:
         raise FileNotFoundError(f"no .oray stripes under {stripe_dir}")
+    if lineage_filter:
+        # partition pruning on the lineage axis: grouped encodes stamp each
+        # stripe with its group key (e.g. source), so a per-source read
+        # touches only that source's stripes. Stripes WITHOUT the lineage
+        # key are kept conservatively — callers still apply an exact filter.
+        def lineage_match(p: str) -> bool:
+            lin = read_stripe_footer(p).get("lineage", {})
+            return all(k not in lin or lin[k] == str(v)
+                       for k, v in lineage_filter.items())
+
+        flags = map_footers(paths, lineage_match)
+        paths = [p for p, f in zip(paths, flags) if f]
+        if not paths:
+            import pyarrow as pa_  # noqa
+
+            return rd.from_arrow(pa_.table({}))
     target_schema = unified_schema(paths) if unify_schema else None
     if target_schema is not None and columns is not None:
         unknown = [c for c in columns if c not in target_schema.names]
