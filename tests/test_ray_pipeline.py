@@ -490,3 +490,46 @@ def test_skip_corrupt_stripe(ray_session, tmp_path):
     df = read_stripes(str(d), on_error="skip").to_pandas()
     assert len(df) == 200  # corrupt stripe dropped, others intact
     assert set(df["k"]) == set(range(100)) | set(range(200, 300))
+
+
+def test_map_footers_ray_fanout(ray_session, tmp_path):
+    """>256 stripes exercises the ray.remote chunked footer fan-out."""
+    import numpy as np
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.stripes import prune_stripes
+    from apacheorcdotnet_ray.stripe import encode_stripe
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(300):
+        t = pa.table({"k": pa.array(np.arange(i * 10, (i + 1) * 10, dtype=np.int64))})
+        buf, _ = encode_stripe(t)
+        (d / f"s{i:04d}.oray").write_bytes(buf)
+    paths = sorted(str(p) for p in d.glob("*.oray"))
+    kept = prune_stripes(paths, ("k", "<", 25))
+    assert len(kept) == 3  # stripes 0,1,2 hold k<30
+
+
+def test_encode_corpus_append_resume(ray_session, tmp_path):
+    """Appending new input files re-encodes ONLY the new partitions."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "stripes")
+    p1 = str(src / "a.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(100), type=pa.int64())}), p1)
+    s1 = encode_corpus([p1], out)
+    assert s1["rows"] == 100
+    # append a second file: rerun sees the old partition as complete
+    p2 = str(src / "b.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(100, 150), type=pa.int64())}), p2)
+    s2 = encode_corpus([p1, p2], out)
+    assert s2["rows"] == 150
+    assert decode_dataset(out).count() == 150
