@@ -230,7 +230,6 @@ def dedup_minhash_lsh(
     def explode(batch: pa.Table) -> pa.Table:
         sh, offs = _batch_shingle_hashes(batch.column("text"), k)
         sigs = _minhash_from_shingles(sh, offs, a, b)
-        ush, uoffs = _unique_per_doc(sh, offs)
         n = len(sigs)
         banded = sigs.reshape(n, bands, rows_per_band)
         with np.errstate(over="ignore"):
@@ -239,8 +238,15 @@ def dedup_minhash_lsh(
                 * np.uint64(0x9E3779B97F4A7C15)
             bh = (banded * mult).sum(axis=2)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # verify sets ship as 32-bit hash truncations: half the shuffle
+        # bytes; expected Jaccard inflation from 32-bit collisions is
+        # ~|A||B|/2^32 ≈ 1e-5 for typical shingle sets — far below any
+        # useful threshold. (MinHash signatures above stay 64-bit.)
+        # re-unique per doc AFTER truncation (vectorized lexsort kernel)
+        u32, o32 = _unique_per_doc((sh & np.uint64(0xFFFFFFFF)), offs)
         sets = pa.LargeListArray.from_arrays(
-            pa.array(uoffs, type=pa.int64()), pa.array(ush.view(np.int64)))
+            pa.array(o32, type=pa.int64()),
+            pa.array(u32.astype(np.int32), type=pa.int32()))
         rep = sets.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), bands)))
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, bands)),
