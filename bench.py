@@ -129,6 +129,20 @@ def run_bench() -> dict:
 
     timed("ann_topk", _ann)
 
+    from apacheorcdotnet_ray.pipelines import joins, pack
+
+    timed("hash_join", lambda: joins.hash_join(
+        read_parquet_clean(os.path.join(SF_DIR, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_linenumber", "l_quantity"]),
+        read_parquet_clean(os.path.join(SF_DIR, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        left_on="l_orderkey", right_on="o_orderkey").count())
+
+    from apacheorcdotnet_ray.pipelines.text import tokenize_documents
+
+    timed("pack_sequences", lambda: pack.pack_sequences(
+        tokenize_documents(docs_ds), seq_len=2048).count())
+
     result = {
         "metric": "tokens_encode_throughput",
         "value": round(t_encode, 3),
