@@ -162,22 +162,26 @@ def read_stripes(
     paths = stripe_paths(stripe_dir)
     if not paths:
         raise FileNotFoundError(f"no .oray stripes under {stripe_dir}")
-    if lineage_filter:
-        # partition pruning on the lineage axis: grouped encodes stamp each
-        # stripe with its group key (e.g. source), so a per-source read
-        # touches only that source's stripes. Stripes WITHOUT the lineage
-        # key are kept conservatively — callers still apply an exact filter.
-        def lineage_match(p: str) -> bool:
-            lin = read_stripe_footer(p).get("lineage", {})
-            return all(k not in lin or lin[k] == str(v)
-                       for k, v in lineage_filter.items())
+    if lineage_filter or preds:
+        # ONE footer pass for both pruning axes (folding lineage + stat/
+        # bloom checks avoids a second map_footers wave over the corpus):
+        # - lineage: grouped encodes stamp each stripe with its group key
+        #   (e.g. source), so a per-source read touches only those stripes;
+        #   stripes WITHOUT the key are kept conservatively (values compared
+        #   as strings on both sides — lineage stamps are stringified).
+        # - predicate: footer min/max + bloom checks, as before.
+        def keep_stripe(p: str) -> bool:
+            if lineage_filter:
+                lin = read_stripe_footer(p).get("lineage", {})
+                if not all(k not in lin or str(lin[k]) == str(v)
+                           for k, v in lineage_filter.items()):
+                    return False
+            return _prune_one(p, preds) if preds else True
 
-        flags = map_footers(paths, lineage_match)
+        flags = map_footers(paths, keep_stripe)
         paths = [p for p, f in zip(paths, flags) if f]
         if not paths:
-            import pyarrow as pa_  # noqa
-
-            return rd.from_arrow(pa_.table({}))
+            return rd.from_arrow(pa.table({}))
     target_schema = unified_schema(paths) if unify_schema else None
     if target_schema is not None and columns is not None:
         unknown = [c for c in columns if c not in target_schema.names]
@@ -189,10 +193,6 @@ def read_stripes(
             if p[0] in target_schema.names and p[0] not in keep:
                 keep = keep + [p[0]]
         target_schema = pa.schema([target_schema.field(c) for c in keep])
-    if preds:
-        paths = prune_stripes(paths, preds)
-        if not paths:
-            return rd.from_arrow(pa.table({}))
     read_cols = columns
     if preds and columns is not None:
         extra = [p[0] for p in preds if p[0] not in columns]

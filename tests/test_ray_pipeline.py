@@ -513,7 +513,7 @@ def test_map_footers_ray_fanout(ray_session, tmp_path):
 
 def test_encode_corpus_append_resume(ray_session, tmp_path):
     """Appending new input files re-encodes ONLY the new partitions."""
-    import shutil
+    import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -527,9 +527,15 @@ def test_encode_corpus_append_resume(ray_session, tmp_path):
     pq.write_table(pa.table({"doc_id": pa.array(range(100), type=pa.int64())}), p1)
     s1 = encode_corpus([p1], out)
     assert s1["rows"] == 100
-    # append a second file: rerun sees the old partition as complete
+    first_stripes = {f: os.path.getmtime(os.path.join(out, f))
+                     for f in os.listdir(out) if f.endswith(".oray")}
+    # append a second file: rerun must see the old partition as complete
     p2 = str(src / "b.parquet")
     pq.write_table(pa.table({"doc_id": pa.array(range(100, 150), type=pa.int64())}), p2)
     s2 = encode_corpus([p1, p2], out)
     assert s2["rows"] == 150
     assert decode_dataset(out).count() == 150
+    # the original partition's stripes were NOT rewritten (true resume,
+    # not idempotent re-encode)
+    for f, mtime in first_stripes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == mtime, f
