@@ -574,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": _corpus_mix,
         "stratified_sample": _stratified_sample,
         "pack_sequences": _pack_sequences,
+        "vocab_counts": lambda sf_dir: text.vocab_counts(
+            text.tokenize_documents(_read(sf_dir, "documents")), k=20),
         # --- deduplication ---
         "dedup_exact": lambda sf_dir: dedup.dedup_exact(_read(sf_dir, "documents")),
         "dedup_minhash": lambda sf_dir: dedup.dedup_minhash_lsh(

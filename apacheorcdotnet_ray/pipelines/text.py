@@ -401,3 +401,31 @@ def parse_json_struct(ds: rd.Dataset, col: str, id_col: str = "event_id") -> rd.
         return pa.table({id_col: batch.column(id_col), col: decoded})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def vocab_counts(ds: rd.Dataset, k: int = 20, vocab: int = VOCAB,
+                 tokens_col: str = "tokens") -> pa.Table:
+    """Top-k token-id frequencies over a tokens:list<int32> corpus with NO
+    shuffle: each batch reduces to ONE fixed-length bincount vector (the
+    whole-vocab histogram fits in ~400 KB), the driver sums the tiny
+    per-batch vectors, then takes the top-k. The classic fixed-domain
+    aggregation shape — a groupby over token ids would shuffle billions of
+    rows to produce the same 50k counters."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch.column(tokens_col)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        counts = np.bincount(flat, minlength=vocab).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()], type=pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = np.zeros(vocab, dtype=np.int64)
+    for r in rows:  # one small vector per batch — tiny driver reduce
+        total += np.frombuffer(r["counts"], dtype=np.int64)
+    order = np.argsort(-total, kind="stable")[:k]
+    return pa.table({
+        "token_id": pa.array(order.astype(np.int32)),
+        "cnt": pa.array(total[order]),
+    })
