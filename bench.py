@@ -89,6 +89,24 @@ def run_bench() -> dict:
     tokens_per_sec = n_tokens / t_encode
     bytes_per_token = summary["encoded_bytes"] / n_tokens
 
+    if os.environ.get("GRAFT_ENCODE_ONLY"):
+        # scaling legs measure ONLY the headline encode — skip the rest
+        result = {
+            "metric": "tokens_encode_throughput",
+            "value": round(t_encode, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in queries.items()},
+            "sf": os.path.basename(os.path.normpath(SF_DIR)),
+            "num_cpus": NUM_CPUS,
+            "n_tokens": int(n_tokens),
+            "tokens_per_sec": round(n_tokens / t_encode),
+            "bytes_per_token": round(bytes_per_token, 4),
+            "encoded_bytes": summary["encoded_bytes"],
+            "raw_bytes": summary["raw_bytes"],
+        }
+        ray.shutdown()
+        return result
+
     # --- decode + verify ---
     t_decode = float("inf")
     for _ in range(2):
@@ -162,11 +180,16 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CORPUS="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CORPUS="1",
+                   GRAFT_ENCODE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def best_of(ncpu: int, runs: list[dict]) -> dict:
+        mine = [r for r in runs if r["num_cpus"] == ncpu]
+        return min(mine, key=lambda r: r["value"])
 
     # N vs 4N parallelism in fresh processes (sandbox stand-in for N vs 4N
     # nodes). Default 1 vs 4: this box exposes 32 vCPUs but per-process
@@ -175,7 +198,10 @@ def run_scaling() -> None:
     # higher levels measure the hardware ceiling, not the engine's scaling;
     # BASELINE.md records measurements at both 1v4 and 2v8.
     lo, hi = int(os.environ.get("GRAFT_SCALE_LO", 1)), int(os.environ.get("GRAFT_SCALE_HI", 4))
-    r_lo, r_hi = run(lo), run(hi)
+    # two INTERLEAVED rounds per leg, best-of: co-tenant load drifts on the
+    # scale of minutes, so lo/hi/lo/hi ordering + min cancels slow swings
+    runs = [run(lo), run(hi), run(lo), run(hi)]
+    r_lo, r_hi = best_of(lo, runs), best_of(hi, runs)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({
         "metric": "scaling_efficiency",
