@@ -99,6 +99,14 @@ def _quantile_median(sf_dir: str):
     return pa.table({"median": pa.array([v], type=pa.float64())})
 
 
+def _collect(ds):
+    """Schema-true small-result collection (Dataset.to_pandas drops columns
+    when every block is empty — bites possibly-empty pair queries)."""
+    from apacheorcdotnet_ray.pipelines.setops import to_arrow_table
+
+    return to_arrow_table(ds)
+
+
 def _keyed(sf_dir: str, table: str, col: str):
     import pyarrow as pa
 
@@ -235,10 +243,12 @@ def _predicate_scan_bloom(sf_dir: str):
     out = _out_dir(sf_dir, "rt-lineitem-bloom")
     encode_corpus([_table_path(sf_dir, "lineitem")], out,
                   config=EncodeConfig(bloom_columns=("l_partkey",)))
-    return decode_dataset(
+    from apacheorcdotnet_ray.pipelines.setops import to_arrow_table
+
+    return to_arrow_table(decode_dataset(
         out, columns=["l_orderkey", "l_partkey", "l_quantity"],
         predicate=("l_partkey", "==", 577),
-    )
+    ))
 
 
 def _predicate_scan_sorted(sf_dir: str):
@@ -258,10 +268,14 @@ def _predicate_scan_sorted(sf_dir: str):
                       config=EncodeConfig(row_index_stride=2000),
                       batch_size=2000).materialize()
         open(os.path.join(out, "_done"), "w").close()
-    return decode_dataset(
+    from apacheorcdotnet_ray.pipelines.setops import to_arrow_table
+
+    # to_arrow_table: Dataset.to_pandas drops columns on all-empty results
+    # (possible at tiny scale factors)
+    return to_arrow_table(decode_dataset(
         out, columns=["event_id", "user_id"],
         predicate=[("user_id", ">=", 100), ("user_id", "<", 120)],
-    )
+    ))
 
 
 def _predicate_scan_conj(sf_dir: str):
@@ -583,8 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": lambda sf_dir: dedup.dedup_simhash(_read(sf_dir, "documents")),
         "dedup_ngram_jaccard": lambda sf_dir: dedup.dedup_ngram_jaccard(
             _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8),
-        "dedup_embedding": lambda sf_dir: dedup.dedup_embedding_cosine(
-            _read(sf_dir, "embeddings"), threshold=0.48),
+        "dedup_embedding": lambda sf_dir: _collect(dedup.dedup_embedding_cosine(
+            _read(sf_dir, "embeddings"), threshold=0.48)),
         "dedup_embedding_lsh": lambda sf_dir: dedup.dedup_embedding_lsh(
             _read(sf_dir, "embeddings"), threshold=0.45),
         "dedup_end_to_end": _dedup_end_to_end,

@@ -179,9 +179,19 @@ def read_stripes(
             return _prune_one(p, preds) if preds else True
 
         flags = map_footers(paths, keep_stripe)
-        paths = [p for p, f in zip(paths, flags) if f]
-        if not paths:
-            return rd.from_arrow(pa.table({}))
+        kept = [p for p, f in zip(paths, flags) if f]
+        if not kept:
+            # everything pruned: return a TYPED empty dataset (a schema-less
+            # pa.table({}) breaks downstream column references), projected
+            # like a normal read would be
+            from ..stripe.container import footer_schema
+
+            sch = footer_schema(read_stripe_footer(paths[0]))
+            if columns is not None:
+                sch = pa.schema([sch.field(c) for c in columns
+                                 if c in sch.names])
+            return rd.from_arrow(sch.empty_table())
+        paths = kept
     target_schema = unified_schema(paths) if unify_schema else None
     if target_schema is not None and columns is not None:
         unknown = [c for c in columns if c not in target_schema.names]
