@@ -419,3 +419,55 @@ def encode_sorted(
         config = replace(config, sort_within_stripe=by)
     return encode_dataset(ds.sort(by), out_dir, config=config,
                           batch_size=batch_size)
+
+
+def _zorder_values(cols: list[np.ndarray], los: list[float], his: list[float],
+                   bits: int = 21) -> np.ndarray:
+    """Interleave the top ``bits`` bits of each column's GLOBALLY
+    min/max-normalized value into one sort key (Morton order). 21 bits x up
+    to 3 cols fits int64. Normalization bounds must be global — per-batch
+    bounds would make z-values incomparable across batches."""
+    n = len(cols[0])
+    z = np.zeros(n, dtype=np.uint64)
+    for ci, (c, lo, hi) in enumerate(zip(cols, los, his)):
+        v = c.astype(np.float64)
+        q = (np.zeros(n) if hi == lo
+             else np.clip((v - lo) / (hi - lo), 0, 1) * ((1 << bits) - 1)
+             ).astype(np.uint64)
+        for b in range(bits):
+            z |= ((q >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * len(cols) + ci)
+    return z.view(np.int64)
+
+
+def encode_zordered(
+    ds: rd.Dataset,
+    out_dir: str,
+    by: list[str],
+    config: EncodeConfig | None = None,
+    batch_size: int | None = None,
+) -> rd.Dataset:
+    """Multi-column clustering via Z-order (Morton) interleaving: one cheap
+    global min/max aggregate per key column, then one distributed sort on
+    the derived z-key — stripes AND strides come out selective on EVERY
+    listed column at once, where a plain sort only serves its leading key
+    (the Databricks Z-ORDER idea on stripe footers). The z column is
+    derived per batch (vectorized bit interleave) and dropped before
+    encoding."""
+    from ray.data.aggregate import Max, Min
+
+    config = config or EncodeConfig()
+    aggs = []
+    for c in by:
+        aggs += [Min(c), Max(c)]
+    g = ds.aggregate(*aggs)
+    los = [float(g[f"min({c})"]) for c in by]
+    his = [float(g[f"max({c})"]) for c in by]
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        arrs = [batch.column(c).to_numpy(zero_copy_only=False) for c in by]
+        return batch.append_column("_z", pa.array(_zorder_values(arrs, los, his)))
+
+    ds_z = ds.map_batches(add_z, batch_format="pyarrow").sort("_z")
+    ds_z = ds_z.map_batches(lambda b: b.drop_columns(["_z"]),
+                            batch_format="pyarrow")
+    return encode_dataset(ds_z, out_dir, config=config, batch_size=batch_size)

@@ -539,3 +539,43 @@ def test_encode_corpus_append_resume(ray_session, tmp_path):
     # not idempotent re-encode)
     for f, mtime in first_stripes.items():
         assert os.path.getmtime(os.path.join(out, f)) == mtime, f
+
+
+def test_zorder_prunes_both_columns(ray_session, tmp_path):
+    """Z-order clustering makes stripes selective on BOTH keys; a plain
+    sort only serves its leading key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.encode import encode_sorted, encode_zordered
+    from apacheorcdotnet_ray.sources.stripes import prune_stripes, stripe_paths
+    from apacheorcdotnet_ray.stripe import EncodeConfig
+
+    rng = np.random.default_rng(91)
+    n = 40_000
+    t = pa.table({
+        "x": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+        "y": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+    })
+    ds = rd.from_arrow(t)
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    encode_zordered(ds, zdir, by=["x", "y"], batch_size=2500).materialize()
+    encode_sorted(rd.from_arrow(t), sdir, by="x", batch_size=2500).materialize()
+
+    zp, sp = stripe_paths(zdir), stripe_paths(sdir)
+    pred_y = ("y", "<=", 50)
+    kept_z = prune_stripes(zp, pred_y)
+    kept_s = prune_stripes(sp, pred_y)
+    # x-sorted stripes can't prune on y at all; z-ordered ones can
+    assert len(kept_s) == len(sp)
+    assert len(kept_z) < len(zp) * 0.7, (len(kept_z), len(zp))
+    # and z still prunes on x too
+    kept_zx = prune_stripes(zp, ("x", "<=", 50))
+    assert len(kept_zx) < len(zp) * 0.7
+    # correctness: decode + filter matches the source
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset
+
+    got = decode_dataset(zdir, predicate=pred_y).to_pandas()
+    assert (got["y"] <= 50).all()
+    assert len(got) == int((t.column("y").to_numpy() <= 50).sum())
