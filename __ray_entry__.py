@@ -234,6 +234,27 @@ def _predicate_scan_stride(sf_dir: str):
     )
 
 
+def _predicate_scan_zorder(sf_dir: str):
+    """Z-order clustering: predicate on the NON-leading key still prunes
+    (a plain sort would only serve its first column)."""
+    import shutil
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_zordered
+    from apacheorcdotnet_ray.pipelines.setops import to_arrow_table
+    from apacheorcdotnet_ray.stripe import EncodeConfig
+
+    out = _out_dir(sf_dir, "rt-events-zorder")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+        encode_zordered(ds, out, by=["user_id", "event_id"],
+                        config=EncodeConfig(row_index_stride=2000),
+                        batch_size=2000).materialize()
+        open(os.path.join(out, "_done"), "w").close()
+    return to_arrow_table(decode_dataset(
+        out, predicate=[("event_id", ">=", 2000), ("event_id", "<", 2500)]))
+
+
 def _predicate_scan_bloom(sf_dir: str):
     """Point lookup with per-stripe Bloom filters: equality pruning on an
     unclustered key that min/max stats cannot exclude."""
@@ -509,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predicate_scan_conj": _predicate_scan_conj,
         "predicate_scan_sorted": _predicate_scan_sorted,
         "predicate_scan_bloom": _predicate_scan_bloom,
+        "predicate_scan_zorder": _predicate_scan_zorder,
         "tokenize_roundtrip": _tokenize_roundtrip,
         "grouped_encode_roundtrip": _grouped_roundtrip,
         "grouped_source_scan": _grouped_source_scan,
@@ -717,6 +739,10 @@ def oracle_sql() -> dict[str, str]:
         "predicate_scan_bloom": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
             " WHERE l_partkey = 577"
+        ),
+        "predicate_scan_zorder": (
+            "SELECT event_id, user_id FROM events"
+            " WHERE event_id >= 2000 AND event_id < 2500"
         ),
         "roundtrip_structs": (
             "SELECT event_id, user_id, event_type, value FROM events"
