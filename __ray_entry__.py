@@ -240,7 +240,6 @@ def _predicate_scan_zorder(sf_dir: str):
     import shutil
 
     from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_zordered
-    from apacheorcdotnet_ray.pipelines.setops import to_arrow_table
     from apacheorcdotnet_ray.stripe import EncodeConfig
 
     out = _out_dir(sf_dir, "rt-events-zorder")
@@ -251,7 +250,7 @@ def _predicate_scan_zorder(sf_dir: str):
                         config=EncodeConfig(row_index_stride=2000),
                         batch_size=2000).materialize()
         open(os.path.join(out, "_done"), "w").close()
-    return to_arrow_table(decode_dataset(
+    return _collect(decode_dataset(
         out, predicate=[("event_id", ">=", 2000), ("event_id", "<", 2500)]))
 
 
@@ -264,9 +263,7 @@ def _predicate_scan_bloom(sf_dir: str):
     out = _out_dir(sf_dir, "rt-lineitem-bloom")
     encode_corpus([_table_path(sf_dir, "lineitem")], out,
                   config=EncodeConfig(bloom_columns=("l_partkey",)))
-    from apacheorcdotnet_ray.pipelines.setops import to_arrow_table
-
-    return to_arrow_table(decode_dataset(
+    return _collect(decode_dataset(
         out, columns=["l_orderkey", "l_partkey", "l_quantity"],
         predicate=("l_partkey", "==", 577),
     ))
@@ -289,11 +286,7 @@ def _predicate_scan_sorted(sf_dir: str):
                       config=EncodeConfig(row_index_stride=2000),
                       batch_size=2000).materialize()
         open(os.path.join(out, "_done"), "w").close()
-    from apacheorcdotnet_ray.pipelines.setops import to_arrow_table
-
-    # to_arrow_table: Dataset.to_pandas drops columns on all-empty results
-    # (possible at tiny scale factors)
-    return to_arrow_table(decode_dataset(
+    return _collect(decode_dataset(
         out, columns=["event_id", "user_id"],
         predicate=[("user_id", ">=", 100), ("user_id", "<", 120)],
     ))
@@ -617,8 +610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": lambda sf_dir: dedup.dedup_minhash_lsh(
             _read(sf_dir, "documents"), jaccard_threshold=0.8),
         "dedup_simhash": lambda sf_dir: dedup.dedup_simhash(_read(sf_dir, "documents")),
-        "dedup_ngram_jaccard": lambda sf_dir: dedup.dedup_ngram_jaccard(
-            _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8),
+        "dedup_ngram_jaccard": lambda sf_dir: _collect(dedup.dedup_ngram_jaccard(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8)),
         "dedup_embedding": lambda sf_dir: _collect(dedup.dedup_embedding_cosine(
             _read(sf_dir, "embeddings"), threshold=0.48)),
         "dedup_embedding_lsh": lambda sf_dir: dedup.dedup_embedding_lsh(

@@ -423,14 +423,22 @@ def encode_sorted(
 
 def _zorder_values(cols: list[np.ndarray], los: list[float], his: list[float],
                    bits: int = 21) -> np.ndarray:
-    """Interleave the top ``bits`` bits of each column's GLOBALLY
-    min/max-normalized value into one sort key (Morton order). 21 bits x up
-    to 3 cols fits int64. Normalization bounds must be global — per-batch
-    bounds would make z-values incomparable across batches."""
+    """Interleave ``bits`` bits of each column's GLOBALLY min/max-normalized
+    value into one sort key (Morton order). Bits auto-shrink so
+    len(cols) * bits <= 63 (shifts past 63 would silently wrap mod 64 and
+    produce garbage keys). Normalization bounds must be global — per-batch
+    bounds would make z-values incomparable across batches. Null keys
+    (NaN after to_numpy) cluster at the column minimum."""
+    if not cols:
+        raise ValueError("z-order needs at least one key column")
+    bits = min(bits, 63 // len(cols))
+    if bits < 4:
+        raise ValueError(f"too many z-order columns ({len(cols)}): "
+                         "fewer than 4 bits each in an int64 key")
     n = len(cols[0])
     z = np.zeros(n, dtype=np.uint64)
     for ci, (c, lo, hi) in enumerate(zip(cols, los, his)):
-        v = c.astype(np.float64)
+        v = np.nan_to_num(c.astype(np.float64), nan=lo)
         q = (np.zeros(n) if hi == lo
              else np.clip((v - lo) / (hi - lo), 0, 1) * ((1 << bits) - 1)
              ).astype(np.uint64)
@@ -456,10 +464,16 @@ def encode_zordered(
     from ray.data.aggregate import Max, Min
 
     config = config or EncodeConfig()
+    # materialize once: the aggregate AND the sort both consume ds — without
+    # this an expensive upstream chain would recompute in full twice
+    ds = ds.materialize()
     aggs = []
     for c in by:
         aggs += [Min(c), Max(c)]
     g = ds.aggregate(*aggs)
+    if any(g[f"min({c})"] is None for c in by):
+        empty = [c for c in by if g[f"min({c})"] is None]
+        raise ValueError(f"z-order key column(s) {empty} have no non-null values")
     los = [float(g[f"min({c})"]) for c in by]
     his = [float(g[f"max({c})"]) for c in by]
 

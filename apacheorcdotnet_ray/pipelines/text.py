@@ -417,7 +417,9 @@ def vocab_counts(ds: rd.Dataset, k: int = 20, vocab: int = VOCAB,
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = toks.flatten().to_numpy(zero_copy_only=False)
-        counts = np.bincount(flat, minlength=vocab).astype(np.int64)
+        # [:vocab]: ids >= vocab would make bincount return a LONGER vector
+        # than minlength and break the fixed-length driver sum
+        counts = np.bincount(flat, minlength=vocab)[:vocab].astype(np.int64)
         return pa.table({"counts": pa.array([counts.tobytes()], type=pa.binary())})
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()

@@ -162,6 +162,19 @@ def read_stripes(
     paths = stripe_paths(stripe_dir)
     if not paths:
         raise FileNotFoundError(f"no .oray stripes under {stripe_dir}")
+    # unified schema over the FULL stripe set (before pruning) so the
+    # all-pruned empty path and the decode path agree on one schema
+    target_schema = unified_schema(paths) if unify_schema else None
+    if target_schema is not None and columns is not None:
+        unknown = [c for c in columns if c not in target_schema.names]
+        if unknown:
+            raise ValueError(
+                f"columns {unknown} exist in no stripe's schema under {stripe_dir}")
+        keep = [c for c in columns if c in target_schema.names]
+        for p in preds:
+            if p[0] in target_schema.names and p[0] not in keep:
+                keep = keep + [p[0]]
+        target_schema = pa.schema([target_schema.field(c) for c in keep])
     if lineage_filter or preds:
         # ONE footer pass for both pruning axes (folding lineage + stat/
         # bloom checks avoids a second map_footers wave over the corpus):
@@ -183,26 +196,19 @@ def read_stripes(
         if not kept:
             # everything pruned: return a TYPED empty dataset (a schema-less
             # pa.table({}) breaks downstream column references), projected
-            # like a normal read would be
-            from ..stripe.container import footer_schema
+            # like a normal read would be — the unified schema when
+            # unify_schema is on, else the first footer's
+            if target_schema is not None:
+                sch = target_schema
+            else:
+                from ..stripe.container import footer_schema
 
-            sch = footer_schema(read_stripe_footer(paths[0]))
-            if columns is not None:
-                sch = pa.schema([sch.field(c) for c in columns
-                                 if c in sch.names])
+                sch = footer_schema(read_stripe_footer(paths[0]))
+                if columns is not None:
+                    sch = pa.schema([sch.field(c) for c in columns
+                                     if c in sch.names])
             return rd.from_arrow(sch.empty_table())
         paths = kept
-    target_schema = unified_schema(paths) if unify_schema else None
-    if target_schema is not None and columns is not None:
-        unknown = [c for c in columns if c not in target_schema.names]
-        if unknown:
-            raise ValueError(
-                f"columns {unknown} exist in no stripe's schema under {stripe_dir}")
-        keep = [c for c in columns if c in target_schema.names]
-        for p in preds:
-            if p[0] in target_schema.names and p[0] not in keep:
-                keep = keep + [p[0]]
-        target_schema = pa.schema([target_schema.field(c) for c in keep])
     read_cols = columns
     if preds and columns is not None:
         extra = [p[0] for p in preds if p[0] not in columns]

@@ -89,9 +89,8 @@ def run_bench() -> dict:
     tokens_per_sec = n_tokens / t_encode
     bytes_per_token = summary["encoded_bytes"] / n_tokens
 
-    if os.environ.get("GRAFT_ENCODE_ONLY"):
-        # scaling legs measure ONLY the headline encode — skip the rest
-        result = {
+    def make_result() -> dict:
+        return {
             "metric": "tokens_encode_throughput",
             "value": round(t_encode, 3),
             "unit": "sec",
@@ -99,11 +98,15 @@ def run_bench() -> dict:
             "sf": os.path.basename(os.path.normpath(SF_DIR)),
             "num_cpus": NUM_CPUS,
             "n_tokens": int(n_tokens),
-            "tokens_per_sec": round(n_tokens / t_encode),
+            "tokens_per_sec": round(tokens_per_sec),
             "bytes_per_token": round(bytes_per_token, 4),
             "encoded_bytes": summary["encoded_bytes"],
             "raw_bytes": summary["raw_bytes"],
         }
+
+    if os.environ.get("GRAFT_ENCODE_ONLY"):
+        # scaling legs measure ONLY the headline encode — skip the rest
+        result = make_result()
         ray.shutdown()
         return result
 
@@ -161,19 +164,7 @@ def run_bench() -> dict:
     timed("pack_sequences", lambda: pack.pack_sequences(
         tokenize_documents(docs_ds), seq_len=2048).count())
 
-    result = {
-        "metric": "tokens_encode_throughput",
-        "value": round(t_encode, 3),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in queries.items()},
-        "sf": os.path.basename(os.path.normpath(SF_DIR)),
-        "num_cpus": NUM_CPUS,
-        "n_tokens": int(n_tokens),
-        "tokens_per_sec": round(tokens_per_sec),
-        "bytes_per_token": round(bytes_per_token, 4),
-        "encoded_bytes": summary["encoded_bytes"],
-        "raw_bytes": summary["raw_bytes"],
-    }
+    result = make_result()
     ray.shutdown()
     return result
 
