@@ -165,7 +165,10 @@ def asof_join(
     )
 
     def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns([left_id, left_on, right_value])
+        out_b = batch.rename_columns([left_id, left_on, right_value])
+        # drop the pandas metadata blob Ray re-attaches after map_groups
+        # (unhashable schema → defeats block-schema dedup)
+        return out_b.replace_schema_metadata(None) if out_b.schema.metadata else out_b
 
     return out.map_batches(rename, batch_format="pyarrow")
 
