@@ -534,6 +534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             float_columns=["l_quantity", "l_extendedprice"],
         ),
         "footer_stats_lineitem": _footer_stats_lineitem,
+        "rollup_by_source": lambda sf_dir: stats.group_rollup(
+            _read(sf_dir, "documents", columns=["source", "n_chars"]),
+            "source", "n_chars"),
         "stats_by_source": lambda sf_dir: stats.group_stats_by(
             _read(sf_dir, "documents", columns=["source", "n_chars"]), "source", "n_chars"
         ),
@@ -789,6 +792,10 @@ def oracle_sql() -> dict[str, str]:
             " min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max,"
             " min(l_extendedprice) AS l_extendedprice_min, max(l_extendedprice) AS l_extendedprice_max"
             " FROM lineitem"
+        ),
+        "rollup_by_source": (
+            "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_val,"
+            " count(*) AS n_rows FROM documents GROUP BY ROLLUP(source)"
         ),
         "stats_by_source": (
             "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_val,"
