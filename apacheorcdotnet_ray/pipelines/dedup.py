@@ -47,18 +47,20 @@ def _grouped_map(
             "_pk", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
         )
 
-    def strip_meta(batch: pa.Table) -> pa.Table:
-        # Ray's pandas→Arrow conversion after map_groups re-attaches the
-        # pandas metadata blob, making the schema unhashable (defeats Ray's
-        # block-schema dedup and spams warnings downstream) — strip it
-        return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
-
     return (
         ds.map_batches(add_pk, batch_format="pyarrow")
         .groupby("_pk")
         .map_groups(lambda g: fn(g.drop(columns="_pk")), batch_format="pandas")
-        .map_batches(strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Ray's pandas→Arrow conversion after map_groups re-attaches the pandas
+    metadata blob, making the schema unhashable (defeats Ray's block-schema
+    dedup and spams warnings downstream) — strip it (zero-copy). Shared by
+    every pandas map_groups consumer (_grouped_map, asof_join)."""
+    return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
 
 
 # ---------------------------------------------------------------------------

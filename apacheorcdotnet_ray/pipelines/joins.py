@@ -165,10 +165,9 @@ def asof_join(
     )
 
     def rename(batch: pa.Table) -> pa.Table:
-        out_b = batch.rename_columns([left_id, left_on, right_value])
-        # drop the pandas metadata blob Ray re-attaches after map_groups
-        # (unhashable schema → defeats block-schema dedup)
-        return out_b.replace_schema_metadata(None) if out_b.schema.metadata else out_b
+        from .dedup import _strip_meta
+
+        return _strip_meta(batch.rename_columns([left_id, left_on, right_value]))
 
     return out.map_batches(rename, batch_format="pyarrow")
 

@@ -486,35 +486,23 @@ def group_quantile(ds: rd.Dataset, key: str, value_col: str, q: float = 0.5,
 
 
 def group_rollup(ds: rd.Dataset, key: str, value_col: str) -> rd.Dataset:
-    """GROUP BY ROLLUP(key): per-key sum/count rows plus one grand-total row
-    (key = NULL). The partial+final pattern runs once; the rollup row is a
-    free driver-side fold over the tiny per-key result."""
-    import pyarrow.compute as pc
-
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({key: batch.column(key),
-                      "v": batch.column(value_col).cast(pa.int64())})
-        g = t.group_by(key).aggregate([("v", "sum"), ([], "count_all")])
-        return g.rename_columns([key, "p_sum", "p_cnt"])
-
-    per_key = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(Sum("p_sum", alias_name="sum_val"),
-                   Sum("p_cnt", alias_name="n_rows"))
-    )
+    """GROUP BY ROLLUP(key): the group_stats_by per-key rows plus one
+    grand-total row (key = NULL), a free driver-side fold over the tiny
+    per-key result. SQL SUM semantics throughout: an all-null group sums to
+    NULL, the grand total sums the non-null group sums (NULL only when
+    every group is), and an empty input yields just the (NULL, NULL, 0)
+    total row — matching DuckDB's ROLLUP exactly."""
+    per_key = group_stats_by(ds, key, value_col)
     rows = per_key.take_all()  # tiny: one row per key
-    key_type = pa.string() if rows and isinstance(rows[0][key], str) else pa.int64()
-    total = pa.table({
-        key: pa.array([None], type=key_type),
-        "sum_val": pa.array([sum(r["sum_val"] for r in rows)], type=pa.int64()),
-        "n_rows": pa.array([sum(r["n_rows"] for r in rows)], type=pa.int64()),
-    })
-    out = pa.table({
-        key: pa.array([r[key] for r in rows], type=key_type),
-        "sum_val": pa.array([r["sum_val"] for r in rows], type=pa.int64()),
-        "n_rows": pa.array([r["n_rows"] for r in rows], type=pa.int64()),
-    })
-    return rd.from_arrow(pa.concat_tables([out, total]))
+    sch = per_key.schema()
+    key_type = sch.types[sch.names.index(key)]
+    sums = [r["sum_val"] for r in rows]
+    non_null = [s for s in sums if s is not None]
+    total_sum = sum(non_null) if non_null else None
+    keys_arr = pa.array([r[key] for r in rows] + [None], type=key_type)
+    return rd.from_arrow(pa.table({
+        key: keys_arr,
+        "sum_val": pa.array(sums + [total_sum], type=pa.int64()),
+        "n_rows": pa.array([r["n_rows"] for r in rows]
+                           + [sum(r["n_rows"] for r in rows)], type=pa.int64()),
+    }))
