@@ -502,47 +502,112 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = np.asarray(t["embedding"][int(np.argmin(ids))].as_py(), dtype=np.float64)
         return similarity.ivf_topk(_read(sf_dir, "embeddings"), q[None, :], k=10)
 
+    # NOTE on dict ORDER: the driver evaluates roughly the first ~50 entries
+    # per round, so queries are ordered by correctness-evidence need —
+    # (1) never driver-verified, (2) verified in round 1 only, (3) new this
+    # round, (4) round-2 rows, (5) double-verified in both rounds. Every
+    # entry also passes the identical local gate (tools/check_queries.py).
     return {
-        # --- engine round-trips (encode → stripes → decode ≡ identity) ---
-        "roundtrip_lineitem": roundtrip("lineitem"),
-        "roundtrip_orders": roundtrip("orders"),
-        "roundtrip_customer": roundtrip("customer"),
-        "roundtrip_part": roundtrip("part"),
-        "roundtrip_events": roundtrip("events"),
+        # --- (1) never driver-verified (oracle-backed unless noted) ---
+        "ngram_counts": lambda sf_dir: text.ngram_counts(
+            _read(sf_dir, "documents", columns=["text"]), n=2, k=10),
+        # idf="linear" for the oracle: its score uses only IEEE *,/ so the
+        # doubles match DuckDB bit-for-bit (ln differs in the last ulp)
+        "bm25_search": lambda sf_dir: text.bm25_search(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            "hash join merge", k=10, idf="linear"),
+        "tfidf_top_terms": lambda sf_dir: text.tfidf_top_terms(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), k=3,
+            idf="linear"),
+        "train_val_split": _train_val_split,
+        "corpus_mix": _corpus_mix,
+        "stratified_sample": _stratified_sample,
+        "pack_sequences": _pack_sequences,
+        "vocab_counts": lambda sf_dir: text.vocab_counts(
+            text.tokenize_documents(_read(sf_dir, "documents")), k=20),
+        "audio_features": _audio_features,
+        # --- (2) round-1 rows only ---
+        "token_count_regex": lambda sf_dir: text.token_count_regex(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])),
+        "token_count_by_source": lambda sf_dir: text.token_count_by_source(
+            _read(sf_dir, "documents", columns=["source", "text"])),
+        "quality_scores": lambda sf_dir: text.quality_scores(_read(sf_dir, "documents")),
+        "quality_filter": lambda sf_dir: text.quality_filter(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            min_words=40, min_uniq_ratio=0.25).select_columns(["doc_id"]),
+        "lang_id": lambda sf_dir: text.lang_id(_read(sf_dir, "documents")),
+        "doc_fingerprints": lambda sf_dir: text.doc_fingerprints(_read(sf_dir, "documents")),
+        "dedup_exact": lambda sf_dir: dedup.dedup_exact(_read(sf_dir, "documents")),
+        "dedup_minhash": lambda sf_dir: dedup.dedup_minhash_lsh(
+            _read(sf_dir, "documents"), jaccard_threshold=0.8),
+        "dedup_simhash": lambda sf_dir: dedup.dedup_simhash(_read(sf_dir, "documents")),
+        "dedup_ngram_jaccard": lambda sf_dir: _collect(dedup.dedup_ngram_jaccard(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8)),
+        "dedup_embedding": lambda sf_dir: _collect(dedup.dedup_embedding_cosine(
+            _read(sf_dir, "embeddings"), threshold=0.48)),
+        "dedup_embedding_lsh": lambda sf_dir: dedup.dedup_embedding_lsh(
+            _read(sf_dir, "embeddings"), threshold=0.45),
+        "dedup_end_to_end": _dedup_end_to_end,
+        "ann_topk": ann_topk,
+        "ann_ivf": ann_ivf,
+        "ann_ivf_indexed": _ann_ivf_indexed,
+        "media_features": _media_features,
+        "media_frame_sample": _media_frame_sample,
+        # --- (4) round-2 rows ---
         "roundtrip_region": roundtrip("region"),
         "roundtrip_nation": roundtrip("nation"),
         "roundtrip_supplier": roundtrip("supplier"),
-        "roundtrip_documents": roundtrip("documents"),
-        "roundtrip_embeddings": roundtrip("embeddings"),
-        "roundtrip_orders_zstd": lambda sf_dir: _roundtrip(sf_dir, "orders", "zstd"),
         "roundtrip_structs": _roundtrip_structs,
         "roundtrip_decimal38": _roundtrip_decimal38,
         "json_struct_roundtrip": _json_struct_roundtrip,
-        "predicate_scan": _predicate_scan,
         "predicate_scan_stride": _predicate_scan_stride,
         "predicate_scan_conj": _predicate_scan_conj,
         "predicate_scan_sorted": _predicate_scan_sorted,
         "predicate_scan_bloom": _predicate_scan_bloom,
         "predicate_scan_zorder": _predicate_scan_zorder,
+        "grouped_source_scan": _grouped_source_scan,
+        "footer_stats_lineitem": _footer_stats_lineitem,
+        "rollup_by_source": lambda sf_dir: stats.group_rollup(
+            _read(sf_dir, "documents", columns=["source", "n_chars"]),
+            "source", "n_chars"),
+        "sliding_window_agg": lambda sf_dir: stats.sliding_windowed_agg(
+            _read(sf_dir, "events", columns=["ts", "event_type", "value"])),
+        "group_quantile": lambda sf_dir: stats.group_quantile(
+            _read(sf_dir, "events", columns=["event_type", "value"]),
+            "event_type", "value", q=0.5),
+        "pivot_event_counts": lambda sf_dir: stats.pivot_counts(
+            _read(sf_dir, "events", columns=["user_id", "event_type"]),
+            "user_id", "event_type",
+            ["click", "error", "purchase", "signup", "view"]),
+        "set_intersect": _set_intersect,
+        "set_except": _set_except,
+        "set_union": _set_union,
+        "distinct_sources": _distinct_sources,
+        "hash_join": _hash_join,
+        "semi_join": _semi_join,
+        "anti_join": _anti_join,
+        # --- (5) double-verified (rounds 1 AND 2) ---
+        "roundtrip_lineitem": roundtrip("lineitem"),
+        "roundtrip_orders": roundtrip("orders"),
+        "roundtrip_customer": roundtrip("customer"),
+        "roundtrip_part": roundtrip("part"),
+        "roundtrip_events": roundtrip("events"),
+        "roundtrip_documents": roundtrip("documents"),
+        "roundtrip_embeddings": roundtrip("embeddings"),
+        "roundtrip_orders_zstd": lambda sf_dir: _roundtrip(sf_dir, "orders", "zstd"),
+        "predicate_scan": _predicate_scan,
         "tokenize_roundtrip": _tokenize_roundtrip,
         "grouped_encode_roundtrip": _grouped_roundtrip,
-        "grouped_source_scan": _grouped_source_scan,
         # --- statistics (partial+final aggregation tree) ---
         "stats_lineitem": lambda sf_dir: stats.stats_row(
             _read(sf_dir, "lineitem"),
             int_columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
             float_columns=["l_quantity", "l_extendedprice"],
         ),
-        "footer_stats_lineitem": _footer_stats_lineitem,
-        "rollup_by_source": lambda sf_dir: stats.group_rollup(
-            _read(sf_dir, "documents", columns=["source", "n_chars"]),
-            "source", "n_chars"),
         "stats_by_source": lambda sf_dir: stats.group_stats_by(
             _read(sf_dir, "documents", columns=["source", "n_chars"]), "source", "n_chars"
         ),
         "windowed_agg_events": lambda sf_dir: stats.windowed_agg(
-            _read(sf_dir, "events", columns=["ts", "event_type", "value"])),
-        "sliding_window_agg": lambda sf_dir: stats.sliding_windowed_agg(
             _read(sf_dir, "events", columns=["ts", "event_type", "value"])),
         "distinct_count": lambda sf_dir: stats.distinct_count(
             _read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey"),
@@ -559,75 +624,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf_dir: stats.sessionize(
             _read(sf_dir, "events", columns=["user_id", "ts"])),
         "quantile_median": _quantile_median,
-        "group_quantile": lambda sf_dir: stats.group_quantile(
-            _read(sf_dir, "events", columns=["event_type", "value"]),
-            "event_type", "value", q=0.5),
-        "pivot_event_counts": lambda sf_dir: stats.pivot_counts(
-            _read(sf_dir, "events", columns=["user_id", "event_type"]),
-            "user_id", "event_type",
-            ["click", "error", "purchase", "signup", "view"]),
         "json_extract": lambda sf_dir: text.extract_json_field(
             _read(sf_dir, "events", columns=["event_id", "props"]), "props", "k"),
-        # --- joins ---
-        "set_intersect": _set_intersect,
-        "set_except": _set_except,
-        "set_union": _set_union,
-        "distinct_sources": _distinct_sources,
         "broadcast_join": _broadcast_join,
-        "hash_join": _hash_join,
-        "semi_join": _semi_join,
-        "anti_join": _anti_join,
         "asof_join": _asof_join,
         "range_join_follow": _range_join_follow,
-        # --- text analysis ---
         "token_count": lambda sf_dir: text.token_count(_read(sf_dir, "documents")),
-        "token_count_regex": lambda sf_dir: text.token_count_regex(
-            _read(sf_dir, "documents", columns=["doc_id", "text"])),
-        "token_count_by_source": lambda sf_dir: text.token_count_by_source(
-            _read(sf_dir, "documents", columns=["source", "text"])),
-        "quality_scores": lambda sf_dir: text.quality_scores(_read(sf_dir, "documents")),
-        "quality_filter": lambda sf_dir: text.quality_filter(
-            _read(sf_dir, "documents", columns=["doc_id", "text"]),
-            min_words=40, min_uniq_ratio=0.25).select_columns(["doc_id"]),
-        "lang_id": lambda sf_dir: text.lang_id(_read(sf_dir, "documents")),
-        "doc_fingerprints": lambda sf_dir: text.doc_fingerprints(_read(sf_dir, "documents")),
-        "ngram_counts": lambda sf_dir: text.ngram_counts(
-            _read(sf_dir, "documents", columns=["text"]), n=2, k=10),
-        # idf="linear" for the oracle: its score uses only IEEE *,/ so the
-        # doubles match DuckDB bit-for-bit (ln differs in the last ulp)
-        "bm25_search": lambda sf_dir: text.bm25_search(
-            _read(sf_dir, "documents", columns=["doc_id", "text"]),
-            "hash join merge", k=10, idf="linear"),
-        "tfidf_top_terms": lambda sf_dir: text.tfidf_top_terms(
-            _read(sf_dir, "documents", columns=["doc_id", "text"]), k=3,
-            idf="linear"),
-        # --- corpus sampling / splitting / packing ---
-        "train_val_split": _train_val_split,
-        "corpus_mix": _corpus_mix,
-        "stratified_sample": _stratified_sample,
-        "pack_sequences": _pack_sequences,
-        "vocab_counts": lambda sf_dir: text.vocab_counts(
-            text.tokenize_documents(_read(sf_dir, "documents")), k=20),
-        # --- deduplication ---
-        "dedup_exact": lambda sf_dir: dedup.dedup_exact(_read(sf_dir, "documents")),
-        "dedup_minhash": lambda sf_dir: dedup.dedup_minhash_lsh(
-            _read(sf_dir, "documents"), jaccard_threshold=0.8),
-        "dedup_simhash": lambda sf_dir: dedup.dedup_simhash(_read(sf_dir, "documents")),
-        "dedup_ngram_jaccard": lambda sf_dir: _collect(dedup.dedup_ngram_jaccard(
-            _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8)),
-        "dedup_embedding": lambda sf_dir: _collect(dedup.dedup_embedding_cosine(
-            _read(sf_dir, "embeddings"), threshold=0.48)),
-        "dedup_embedding_lsh": lambda sf_dir: dedup.dedup_embedding_lsh(
-            _read(sf_dir, "embeddings"), threshold=0.45),
-        "dedup_end_to_end": _dedup_end_to_end,
-        # --- similarity search ---
-        "ann_topk": ann_topk,
-        "ann_ivf": ann_ivf,
-        "ann_ivf_indexed": _ann_ivf_indexed,
-        # --- multimodal (stubbed codec, real actor-pool plumbing) ---
-        "media_features": _media_features,
-        "media_frame_sample": _media_frame_sample,
-        "audio_features": _audio_features,
     }
 
 
