@@ -64,6 +64,105 @@ def _strip_meta(batch: pa.Table) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# vectorized segment kernels (shared by every in-bucket verify stage)
+#
+# The LSH-family operators all reduce to "within each bucket, enumerate the
+# (i < j) pairs, then score each pair". Buckets are many and small, so a
+# Python loop over buckets (or worse, over pairs) dominates; these kernels do
+# the enumeration and set-intersection for ALL buckets/pairs of a partition
+# in a handful of NumPy calls.
+
+
+def _segment_pairs(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment (i < j) index pairs for consecutive segments of the
+    given sizes, as GLOBAL indices into the concatenated segments.
+
+    Pair rank r inside a segment maps to (i, j) via the triangular inversion
+    j = floor((1 + sqrt(1 + 8r)) / 2), i = r - j(j-1)/2 (exact in float64 up
+    to 2^52 pairs per segment; ±1-ulp sqrt rounding is corrected below)."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    npairs = sizes * (sizes - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    seg = np.repeat(np.arange(len(sizes)), npairs)
+    pair_starts = np.concatenate([[0], np.cumsum(npairs)])[:-1]
+    loc = np.arange(total, dtype=np.int64) - pair_starts[seg]
+    j = ((np.sqrt(8.0 * loc + 1.0) + 1.0) // 2).astype(np.int64)
+    over = j * (j - 1) // 2 > loc
+    j[over] -= 1
+    under = (j + 1) * j // 2 <= loc
+    j[under] += 1
+    i = loc - j * (j - 1) // 2
+    val_starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    base = val_starts[seg]
+    return base + i, base + j
+
+
+def _group_sizes(
+    group_keys: list[np.ndarray], tiebreak: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sort rows by (group_keys..., tiebreak) and return (order, group sizes)
+    where groups are runs of equal group_keys in the sorted order — the
+    prelude every batched in-bucket verify needs before ``_segment_pairs``."""
+    order = np.lexsort((tiebreak, *group_keys[::-1]))
+    change = np.zeros(len(order), dtype=bool)
+    for k in group_keys:
+        ks = k[order]
+        change[1:] |= ks[1:] != ks[:-1]
+    change[0] = bool(len(order))
+    starts = np.nonzero(change)[0]
+    return order, np.diff(np.append(starts, len(order)))
+
+
+def _gather_segments(
+    vals: np.ndarray, offs: np.ndarray, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate vals[offs[d]:offs[d+1]] for each d in idx (vectorized).
+    Returns (flat gathered values, per-segment lengths)."""
+    lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return vals[:0], lens
+    cum = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    pos = np.arange(total, dtype=np.int64) + np.repeat(offs[idx] - cum, lens)
+    return vals[pos], lens
+
+
+def _pair_intersections(
+    vals: np.ndarray, offs: np.ndarray, ia: np.ndarray, ib: np.ndarray,
+    chunk: int = 4_000_000,
+) -> np.ndarray:
+    """|set_a ∩ set_b| for each pair (ia[p], ib[p]), where doc d's UNIQUE
+    value set is vals[offs[d]:offs[d+1]]. One lexsort over (pair, value) per
+    chunk + an adjacent-duplicate count — no per-pair Python. Chunked so the
+    gathered working set stays bounded regardless of pair fan-out."""
+    la = (offs[ia + 1] - offs[ia]).astype(np.int64)
+    lb = (offs[ib + 1] - offs[ib]).astype(np.int64)
+    inter = np.empty(len(ia), dtype=np.int64)
+    p0 = 0
+    n = len(ia)
+    while p0 < n:
+        p1 = p0 + 1
+        tot = la[p0] + lb[p0]
+        while p1 < n and tot + la[p1] + lb[p1] <= chunk:
+            tot += la[p1] + lb[p1]
+            p1 += 1
+        ga, _ = _gather_segments(vals, offs, ia[p0:p1])
+        gb, _ = _gather_segments(vals, offs, ib[p0:p1])
+        pids = np.arange(p0, p1, dtype=np.int64)
+        tags = np.concatenate([np.repeat(pids, la[p0:p1]), np.repeat(pids, lb[p0:p1])])
+        gv = np.concatenate([ga, gb])
+        order = np.lexsort((gv, tags))
+        gv, tags = gv[order], tags[order]
+        dup = (gv[1:] == gv[:-1]) & (tags[1:] == tags[:-1])
+        inter[p0:p1] = np.bincount(tags[1:][dup] - p0, minlength=p1 - p0)
+        p0 = p1
+    return inter
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 
 
@@ -265,38 +364,54 @@ def dedup_minhash_lsh(
         })
 
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
+                              "doc_b": pd.Series(dtype=df["doc_id"].dtype),
+                              "jaccard": pd.Series(dtype=np.float64)})
         dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
+        if dup.empty:
+            return empty
         # candidate pairs from every bucket in this partition, deduped FIRST
         # (a near-dup pair shares many bands → would otherwise verify once
-        # per band), then exact Jaccard once per distinct pair using the
-        # partition-local doc→shingle-set map
-        pair_set: set = set()
-        for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
-            ids = np.unique(g["doc_id"].values)
-            if len(ids) < 2:
-                continue
-            iu, ju = np.triu_indices(len(ids), k=1)
-            pair_set.update(zip(ids[iu].tolist(), ids[ju].tolist()))
-        if not pair_set:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
-                                 "doc_b": pd.Series(dtype=df["doc_id"].dtype),
-                                 "jaccard": pd.Series(dtype=np.float64)})
-        first = dup.drop_duplicates("doc_id")
-        sets = {d: np.asarray(s, dtype=np.int64)
-                for d, s in zip(first["doc_id"], first["sh_set"])}
-        out = []
-        for da, db in pair_set:
-            sa, sb = sets[da], sets[db]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac = inter / union if union else 1.0
-            if jac >= jaccard_threshold:
-                out.append((da, db, jac))
-        if not out:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
-                                 "doc_b": pd.Series(dtype=df["doc_id"].dtype),
-                                 "jaccard": pd.Series(dtype=np.float64)})
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+        # per band), then exact Jaccard once per distinct pair — all stages
+        # batched across buckets (no Python loop over buckets or pairs).
+        # sort=True so code order == id order → pairs come out (min, max).
+        dcodes, duniq = pd.factorize(dup["doc_id"], sort=True)
+        band = dup["band_id"].to_numpy(np.int32)
+        bh = dup["band_hash"].to_numpy(np.int64)
+        order = np.lexsort((dcodes, bh, band))
+        # one row per (bucket, doc): drop same-doc repeats within a bucket
+        dc_s = dcodes[order]
+        b_s, h_s = band[order], bh[order]
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = ((b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])
+                    | (dc_s[1:] != dc_s[:-1]))
+        dc_s, b_s, h_s = dc_s[keep], b_s[keep], h_s[keep]
+        gstart = np.ones(len(b_s), dtype=bool)
+        gstart[1:] = (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])
+        bsizes = np.diff(np.append(np.nonzero(gstart)[0], len(b_s)))
+        ia, ib = _segment_pairs(bsizes)
+        if not len(ia):
+            return empty
+        n_docs = len(duniq)
+        pkey = dc_s[ia].astype(np.int64) * n_docs + dc_s[ib]
+        pkey = np.unique(pkey)
+        pa_c, pb_c = pkey // n_docs, pkey % n_docs
+        # partition-local doc→shingle-set map as flat values + offsets
+        _, first_idx = np.unique(dcodes, return_index=True)
+        sets = [np.asarray(s, dtype=np.int64)
+                for s in dup["sh_set"].to_numpy()[first_idx]]
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        vals = np.concatenate(sets) if sets else np.empty(0, np.int64)
+        inter = _pair_intersections(vals, offs, pa_c, pb_c)
+        union = lens[pa_c] + lens[pb_c] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        hit = jac >= jaccard_threshold
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"doc_a": duniq[pa_c[hit]],
+                             "doc_b": duniq[pb_c[hit]],
+                             "jaccard": jac[hit]})
 
     pairs = _grouped_map(
         ds.map_batches(explode, batch_format="pyarrow"),
@@ -365,28 +480,40 @@ def dedup_simhash(ds: rd.Dataset, max_hamming: int = 3, blocks: int = 4) -> rd.D
         })
 
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
+                              "doc_b": pd.Series(dtype=df["doc_id"].dtype),
+                              "hamming": pd.Series(dtype=np.int64)})
         dup = df[df.duplicated(["block_id", "block_val"], keep=False)]
-        out_a, out_b, out_d = [], [], []
-        for _, g in dup.groupby(["block_id", "block_val"], sort=False):
-            g = g[["doc_id", "simhash"]].drop_duplicates().sort_values("doc_id")
-            ids = g["doc_id"].values
-            h = g["simhash"].values.astype(np.int64).view(np.uint64)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            x = h[iu] ^ h[ju]
-            d = np.zeros(len(x), dtype=np.int64)  # popcount via byte LUT
-            for shift in range(0, 64, 8):
-                d += _POPCOUNT8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
-            keep = d <= max_hamming
-            out_a.append(ids[iu][keep])
-            out_b.append(ids[ju][keep])
-            out_d.append(d[keep])
-        if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
-                                 "doc_b": pd.Series(dtype=df["doc_id"].dtype),
-                                 "hamming": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b),
-                             "hamming": np.concatenate(out_d)})
+        if dup.empty:
+            return empty
+        # batched across ALL buckets: sort by (bucket, doc code), dedupe
+        # same-doc repeats within a bucket, expand pairs once, popcount once
+        dcodes, duniq = pd.factorize(dup["doc_id"], sort=True)
+        blk = dup["block_id"].to_numpy(np.int32)
+        bv = dup["block_val"].to_numpy(np.int64)
+        h = dup["simhash"].to_numpy(np.int64).view(np.uint64)
+        order = np.lexsort((dcodes, bv, blk))
+        dc_s, b_s, v_s, h_s = dcodes[order], blk[order], bv[order], h[order]
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = ((b_s[1:] != b_s[:-1]) | (v_s[1:] != v_s[:-1])
+                    | (dc_s[1:] != dc_s[:-1]))
+        dc_s, b_s, v_s, h_s = dc_s[keep], b_s[keep], v_s[keep], h_s[keep]
+        gstart = np.ones(len(b_s), dtype=bool)
+        gstart[1:] = (b_s[1:] != b_s[:-1]) | (v_s[1:] != v_s[:-1])
+        sizes = np.diff(np.append(np.nonzero(gstart)[0], len(b_s)))
+        ia, ib = _segment_pairs(sizes)
+        if not len(ia):
+            return empty
+        x = h_s[ia] ^ h_s[ib]
+        d = np.zeros(len(x), dtype=np.int64)  # popcount via byte LUT
+        for shift in range(0, 64, 8):
+            d += _POPCOUNT8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
+        hit = d <= max_hamming
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"doc_a": duniq[dc_s[ia][hit]],
+                             "doc_b": duniq[dc_s[ib][hit]],
+                             "hamming": d[hit]})
 
     pairs = _grouped_map(
         sigs.map_batches(explode, batch_format="pyarrow"),
@@ -463,25 +590,25 @@ def dedup_ngram_jaccard(
                 print(f"dedup_ngram_jaccard: dropped {n_hot} shingles "
                       f"with df > {df_cap}")
                 dup = dup[~hot]
-        out_a, out_b, out_na, out_nb = [], [], [], []
-        for _, g in dup.groupby("sh", sort=False):
-            order = np.argsort(g["doc"].values, kind="stable")
-            ids = g["doc"].values[order]
-            ns = g["n"].values[order]
-            iu, ju = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[iu])
-            out_b.append(ids[ju])
-            out_na.append(ns[iu])
-            out_nb.append(ns[ju])
-        if not out_a:
+        if dup.empty:
             return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc"].dtype),
                                  "doc_b": pd.Series(dtype=df["doc"].dtype),
                                  "n_a": pd.Series(dtype=np.int64),
                                  "n_b": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b),
-                             "n_a": np.concatenate(out_na).astype(np.int64),
-                             "n_b": np.concatenate(out_nb).astype(np.int64)})
+        # batched pair expansion over ALL shingle groups at once: sort by
+        # (shingle, doc code), then one _segment_pairs call. sort=True codes
+        # preserve doc order, so pairs come out (smaller doc, larger doc) as
+        # the per-group argsort used to produce.
+        dcodes, duniq = pd.factorize(dup["doc"], sort=True)
+        sh = dup["sh"].to_numpy(np.int64)
+        ns = dup["n"].to_numpy(np.int64)
+        order, sizes = _group_sizes([sh], dcodes)
+        dc_s, ns_s = dcodes[order], ns[order]
+        ia, ib = _segment_pairs(sizes)
+        return pd.DataFrame({"doc_a": duniq[dc_s[ia]],
+                             "doc_b": duniq[dc_s[ib]],
+                             "n_a": ns_s[ia],
+                             "n_b": ns_s[ib]})
 
     def count_and_score(df: pd.DataFrame) -> pd.DataFrame:
         c = (df.groupby(["doc_a", "doc_b"], sort=False)
@@ -591,27 +718,38 @@ def dedup_embedding_lsh(
         })
 
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype=df[id_col].dtype),
+                              "vec_b": pd.Series(dtype=df[id_col].dtype),
+                              "cosine": pd.Series(dtype=np.float64)})
         dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
-        out_a, out_b, out_c = [], [], []
-        for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
-            g = g.drop_duplicates(id_col).sort_values(id_col)
-            if len(g) < 2:
-                continue
-            ids = g[id_col].values
-            m = np.stack(g["vec"].values).astype(np.float64)
-            sims = m @ m.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            keep = sims[iu, ju] >= threshold
-            out_a.append(ids[iu][keep])
-            out_b.append(ids[ju][keep])
-            out_c.append(sims[iu, ju][keep])
-        if not out_a:
-            return pd.DataFrame({"vec_a": pd.Series(dtype=df[id_col].dtype),
-                                 "vec_b": pd.Series(dtype=df[id_col].dtype),
-                                 "cosine": pd.Series(dtype=np.float64)})
-        return pd.DataFrame({"vec_a": np.concatenate(out_a),
-                             "vec_b": np.concatenate(out_b),
-                             "cosine": np.concatenate(out_c)})
+        if dup.empty:
+            return empty
+        # batched across ALL buckets: expand in-bucket pairs once, then one
+        # row-wise einsum for every pair's cosine (vectors are pre-normalized)
+        dcodes, duniq = pd.factorize(dup[id_col], sort=True)
+        band = dup["band_id"].to_numpy(np.int32)
+        bh = dup["band_hash"].to_numpy(np.int64)
+        order = np.lexsort((dcodes, bh, band))
+        dc_s, b_s, h_s = dcodes[order], band[order], bh[order]
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = ((b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])
+                    | (dc_s[1:] != dc_s[:-1]))
+        sel = order[keep]
+        dc_s, b_s, h_s = dc_s[keep], b_s[keep], h_s[keep]
+        gstart = np.ones(len(b_s), dtype=bool)
+        gstart[1:] = (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])
+        sizes = np.diff(np.append(np.nonzero(gstart)[0], len(b_s)))
+        ia, ib = _segment_pairs(sizes)
+        if not len(ia):
+            return empty
+        m = np.stack(dup["vec"].to_numpy()[sel]).astype(np.float64)
+        sims = np.einsum("ij,ij->i", m[ia], m[ib])
+        hit = sims >= threshold
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"vec_a": duniq[dc_s[ia][hit]],
+                             "vec_b": duniq[dc_s[ib][hit]],
+                             "cosine": sims[hit]})
 
     pairs = _grouped_map(
         emb_ds.map_batches(explode, batch_format="pyarrow"),
