@@ -55,6 +55,30 @@ def _grouped_map(
     )
 
 
+def _grouped_map_arrow(
+    ds: rd.Dataset, keys: list[str], fn, num_partitions: int = 64
+) -> rd.Dataset:
+    """Arrow-format twin of ``_grouped_map``: fn(pa.Table) receives complete
+    key-groups, zero pandas conversion — the right variant when the payload
+    has list/tensor columns (object-dtype pandas would force per-row
+    materialization)."""
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(batch.select(keys)).hash_rows(seed=1).to_numpy()
+        return batch.append_column(
+            "_pk", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(lambda g: fn(g.drop_columns(["_pk"])), batch_format="pyarrow")
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def _strip_meta(batch: pa.Table) -> pa.Table:
     """Ray's pandas→Arrow conversion after map_groups re-attaches the pandas
     metadata blob, making the schema unhashable (defeats Ray's block-schema

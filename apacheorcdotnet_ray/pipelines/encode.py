@@ -117,14 +117,23 @@ def encode_grouped(
 
     def add_stripe_key(batch: pa.Table) -> pa.Table:
         import polars as pl
+        import pyarrow.compute as pc
 
         salts = ray.get(salts_ref)
-        keys = batch.column(key).to_pylist()
-        ns = np.array([salts.get(s, 1) for s in keys], dtype=np.uint64)
+        # per-row salt count via dictionary-encode: Python touches only the
+        # batch's DISTINCT keys, never one entry per row
+        keys = batch.column(key).combine_chunks()
+        codes = pc.dictionary_encode(keys)
+        ns_by_code = np.array(
+            [salts.get(s, 1) for s in codes.dictionary.to_pylist()],
+            dtype=np.uint64)
+        ns = ns_by_code[codes.indices.to_numpy()]
         h = pl.from_arrow(batch.select([id_col])).hash_rows(seed=2).to_numpy()
         salt = (h % ns).astype(np.int64)
-        sk = [f"{s}#{int(x)}" for s, x in zip(keys, salt)]
-        return batch.append_column("_stripe_key", pa.array(sk, type=pa.string()))
+        sk = pc.binary_join_element_wise(
+            pc.cast(keys, pa.string()),
+            pc.cast(pa.array(salt), pa.string()), "#")
+        return batch.append_column("_stripe_key", sk)
 
     enc = StripeEncoder(out_dir=out_dir, config=config, key_column=id_col,
                         lineage_columns=(key,), adaptive_fsst_by=key)

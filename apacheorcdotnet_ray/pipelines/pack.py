@@ -40,20 +40,29 @@ def pack_sequences(
       block-diagonal attention masking.
     - ``first_doc`` / ``n_docs``: lineage back to the packed documents.
     """
-    from .dedup import _grouped_map
+    from .dedup import _grouped_map_arrow
 
-    def pack(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="mergesort")
-        toks = [np.asarray(t, dtype=np.int32) for t in df[tokens_col]]
-        ids = df[id_col].to_numpy()
-        if not toks:
-            return pd.DataFrame({"first_doc": pd.Series(dtype=ids.dtype),
-                                 "n_docs": pd.Series(dtype=np.int64),
-                                 "n_tokens": pd.Series(dtype=np.int64),
-                                 "doc_starts": pd.Series(dtype=object),
-                                 "tokens": pd.Series(dtype=object)})
-        flat = np.concatenate(toks)
-        lens = np.array([len(t) for t in toks], dtype=np.int64)
+    def pack(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        id_arr = t.column(id_col).combine_chunks()
+        empty = pa.table({
+            "first_doc": pa.array([], type=id_arr.type),
+            "n_docs": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "doc_starts": pa.array([], type=pa.large_list(pa.int32())),
+            "tokens": pa.array([], type=pa.large_list(pa.int32())),
+        })
+        if t.num_rows == 0:
+            return empty
+        order = pc.sort_indices(id_arr)
+        ids = id_arr.take(order)
+        toks = t.column(tokens_col).combine_chunks().take(order)
+        # flat token stream + doc boundaries straight off the Arrow list
+        # buffers — no per-doc Python, no object-dtype pandas round-trip
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        flat = flat.astype(np.int32, copy=False)
         bounds = np.concatenate([[0], np.cumsum(lens)])  # doc start offsets
         total = len(flat)
         n_full = total // seq_len
@@ -65,12 +74,7 @@ def pack_sequences(
             n_seq = n_full
             flat = flat[: n_seq * seq_len]
         if n_seq == 0:
-            return pd.DataFrame({"first_doc": pd.Series(dtype=ids.dtype),
-                                 "n_docs": pd.Series(dtype=np.int64),
-                                 "n_tokens": pd.Series(dtype=np.int64),
-                                 "doc_starts": pd.Series(dtype=object),
-                                 "tokens": pd.Series(dtype=object)})
-        seqs = flat.reshape(n_seq, seq_len)
+            return empty
         cuts = np.arange(n_seq + 1, dtype=np.int64) * seq_len
         # docs whose start falls in [cuts[i], cuts[i+1]) belong to sequence i
         start_seq = np.searchsorted(cuts, bounds[:-1], side="right") - 1
@@ -83,22 +87,30 @@ def pack_sequences(
         n_tok = np.minimum(cuts[1:], total) - cuts[:-1]
         # only docs whose start survives truncation (drop mode cuts the
         # remainder at n_seq*seq_len; an unfiltered bound would emit
-        # doc_starts >= seq_len pointing at dropped docs)
+        # doc_starts >= seq_len pointing at dropped docs); starts are sorted
+        # and start_seq is nondecreasing, so one bincount gives per-seq counts
         kept = min(total, n_seq * seq_len)
-        doc_starts = [
-            (bounds[:-1][(start_seq == i) & (bounds[:-1] < kept)] - cuts[i]).astype(np.int32)
-            for i in range(n_seq)
-        ]
-        return pd.DataFrame({
-            "first_doc": ids[first_idx],
-            "n_docs": (last_idx - first_idx + 1).astype(np.int64),
-            "n_tokens": n_tok.astype(np.int64),
+        live = bounds[:-1] < kept
+        ds_vals = (bounds[:-1][live] - cuts[start_seq[live]]).astype(np.int32)
+        ds_counts = np.bincount(start_seq[live], minlength=n_seq)
+        # large_list (int64 offsets): a partition's flat token stream can
+        # exceed 2^31 at corpus scale
+        ds_offs = np.concatenate([[0], np.cumsum(ds_counts)]).astype(np.int64)
+        doc_starts = pa.LargeListArray.from_arrays(
+            pa.array(ds_offs, type=pa.int64()), pa.array(ds_vals, type=pa.int32()))
+        tokens = pa.LargeListArray.from_arrays(
+            pa.array(cuts, type=pa.int64()),
+            pa.array(flat, type=pa.int32()))
+        return pa.table({
+            "first_doc": ids.take(pa.array(first_idx)),
+            "n_docs": pa.array((last_idx - first_idx + 1).astype(np.int64)),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
             "doc_starts": doc_starts,
-            "tokens": list(seqs),
+            "tokens": tokens,
         })
 
-    return _grouped_map(ds.select_columns([id_col, tokens_col]), [id_col],
-                        pack, num_partitions)
+    return _grouped_map_arrow(ds.select_columns([id_col, tokens_col]), [id_col],
+                              pack, num_partitions)
 
 
 def iter_training_batches(stripe_dir: str, seq_len: int = 2048,
