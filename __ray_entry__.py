@@ -292,6 +292,33 @@ def _predicate_scan_sorted(sf_dir: str):
     ))
 
 
+def _predicate_scan_temporal(sf_dir: str):
+    """Temporal predicate pushdown: ts-sorted stripes prune at the footer
+    AND stride level, with one literal working end-to-end — an ISO string
+    (with 'T' separator) for the lower bound and a datetime object for the
+    upper bound, both pruning via parsed footer stats and filtering via the
+    literal-casting compare kernel."""
+    import datetime
+    import shutil
+
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_sorted
+    from apacheorcdotnet_ray.stripe import EncodeConfig
+
+    out = _out_dir(sf_dir, "rt-events-ts")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+        encode_sorted(ds, out, by="ts",
+                      config=EncodeConfig(row_index_stride=2000),
+                      batch_size=2000).materialize()
+        open(os.path.join(out, "_done"), "w").close()
+    return _collect(decode_dataset(
+        out,
+        predicate=[("ts", ">=", "2024-01-10T00:00:00"),
+                   ("ts", "<", datetime.datetime(2024, 1, 12))],
+    ))
+
+
 def _predicate_scan_conj(sf_dir: str):
     """Conjunction pushdown: two predicate terms prune stripes+strides and
     late-materialize together."""
@@ -553,6 +580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_indexed": _ann_ivf_indexed,
         "media_features": _media_features,
         "media_frame_sample": _media_frame_sample,
+        # --- (3) new this round ---
+        "predicate_scan_temporal": _predicate_scan_temporal,
         # --- (4) round-2 rows ---
         "roundtrip_region": roundtrip("region"),
         "roundtrip_nation": roundtrip("nation"),
@@ -733,6 +762,11 @@ def oracle_sql() -> dict[str, str]:
         "predicate_scan_sorted": (
             "SELECT event_id, user_id FROM events"
             " WHERE user_id >= 100 AND user_id < 120"
+        ),
+        "predicate_scan_temporal": (
+            "SELECT event_id, ts FROM events"
+            " WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'"
+            " AND ts < TIMESTAMP '2024-01-12 00:00:00'"
         ),
         "predicate_scan_bloom": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"

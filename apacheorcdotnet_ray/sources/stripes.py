@@ -46,9 +46,12 @@ def read_stripe_footer(path: str) -> dict:
         return json.loads(zlib.decompress(f.read(footer_len)))
 
 
-# Footer stats for timestamp/date columns are stored as ISO strings, so
-# temporal predicates must use the ISO string form; a type-mismatched
-# literal degrades to no-prune rather than raising inside the prune task.
+# Footer stats for timestamp/date columns are stored as ISO-ish strings
+# (str(datetime)); temporal predicates accept EITHER an ISO string or a
+# datetime/date literal — maybe_satisfies parses both sides to datetimes
+# for pruning and compare_mask casts the literal to the column type for
+# the exact filter, so one literal form prunes AND filters. A genuinely
+# incomparable literal degrades to no-prune rather than raising.
 from ..stripe.stats import maybe_satisfies as _maybe_satisfies
 
 
@@ -225,10 +228,7 @@ def read_stripes(
         batch_size=None,  # one input file is already a full stripe
     )
     if preds:
-        import pyarrow.compute as pc
-
-        fns = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
-               ">=": pc.greater_equal, "==": pc.equal, "!=": pc.not_equal}
+        from ..stripe.stats import compare_mask
 
         def exact_filter(batch: pa.Table) -> pa.Table:
             out = batch
@@ -237,7 +237,9 @@ def read_stripes(
                 # skipped (on_error="skip") — nothing to filter or project
                 return out
             for col, op, lit in preds:
-                out = out.filter(fns[op](out.column(col), pa.scalar(lit)))
+                # compare_mask casts the literal to the column type when no
+                # direct kernel exists (ISO string vs timestamp/date column)
+                out = out.filter(compare_mask(out.column(col), op, lit))
             return out.select(columns) if columns is not None else out
 
         ds = ds.map_batches(exact_filter, batch_format="pyarrow")

@@ -277,14 +277,16 @@ def decode_stripe(
     if preds:
         import pyarrow.compute as pc
 
-        fns = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater,
-               ">=": pc.greater_equal, "==": pc.equal, "!=": pc.not_equal}
+        from .stats import compare_mask
+
         for col, op, lit in preds:
             pred_field = next(f for f in proj if f.name == col)
             if col not in decoded:
                 decoded[col] = decode_field(pred_field)
             try:
-                m = fns[op](decoded[col], pa.scalar(lit))
+                # compare_mask casts the literal to the column type when no
+                # direct kernel exists (ISO string vs timestamp/date column)
+                m = compare_mask(decoded[col], op, lit)
             except (pa.ArrowInvalid, pa.ArrowTypeError,
                     pa.ArrowNotImplementedError, TypeError, KeyError):
                 continue  # incomparable literal/op → this term can't refine
