@@ -496,13 +496,16 @@ def group_rollup(ds: rd.Dataset, key: str, value_col: str) -> rd.Dataset:
     rows = per_key.take_all()  # tiny: one row per key
     sch = per_key.schema()
     key_type = sch.types[sch.names.index(key)]
+    # sum type follows the value column (an int64 hardcode would silently
+    # TRUNCATE float sums when pa.array coerces)
+    sum_type = sch.types[sch.names.index("sum_val")]
     sums = [r["sum_val"] for r in rows]
     non_null = [s for s in sums if s is not None]
     total_sum = sum(non_null) if non_null else None
     keys_arr = pa.array([r[key] for r in rows] + [None], type=key_type)
     return rd.from_arrow(pa.table({
         key: keys_arr,
-        "sum_val": pa.array(sums + [total_sum], type=pa.int64()),
+        "sum_val": pa.array(sums + [total_sum], type=sum_type),
         "n_rows": pa.array([r["n_rows"] for r in rows]
                            + [sum(r["n_rows"] for r in rows)], type=pa.int64()),
     }))

@@ -340,7 +340,15 @@ def bm25_search(ds: rd.Dataset, query: str, k: int = 10,
 
     ``idf``: "log" → ln((N - df + 0.5)/(df + 0.5)) (textbook BM25);
     "linear" → (N - df + 0.5)/(df + 0.5), using only IEEE arithmetic so the
-    DuckDB oracle matches bit-for-bit."""
+    DuckDB oracle matches bit-for-bit.
+
+    tf convention: term frequency comes from NON-OVERLAPPING ' term '
+    substring matches of the padded text, so immediately consecutive
+    repeats undercount ('hash hash hash' → tf 2, not 3: the middle
+    occurrence's padding spaces are consumed by its neighbors). The SQL
+    oracle deliberately mirrors the same convention. For exact tf, tokenize
+    (split + value_counts) as tfidf_top_terms does — the substring form is
+    kept because it vectorizes as one Arrow kernel over the corpus."""
     terms = sorted(set(query.split()))
 
     # pass 1: N, avgdl, and per-term document frequencies — one aggregate

@@ -217,11 +217,29 @@ def read_stripes(
         extra = [p[0] for p in preds if p[0] not in columns]
         if extra:
             read_cols = list(columns) + sorted(set(extra), key=extra.index)
+    fallback_schema = None
+    if on_error == "skip" and target_schema is None:
+        # derive the typed-empty schema for all-corrupt tasks from the first
+        # READABLE footer (one driver-side tail read; corrupt candidates are
+        # skipped the same way the decode tasks will skip them)
+        from ..stripe.container import footer_schema
+
+        for p in paths[:8]:
+            try:
+                sch = footer_schema(read_stripe_footer(p))
+            except Exception:  # noqa: BLE001 — corrupt candidate, try next
+                continue
+            if read_cols is not None:
+                sch = pa.schema([sch.field(c) for c in read_cols
+                                 if c in sch.names])
+            fallback_schema = sch
+            break
     ds = rd.read_binary_files(paths)
     # stateless → plain-function task pool; the predicate additionally skips
     # non-qualifying strides inside row-indexed stripes (ROW_INDEX analog)
     decoder = StripeDecoder(columns=read_cols, predicate=preds or None,
-                            schema=target_schema, on_error=on_error)
+                            schema=target_schema, on_error=on_error,
+                            fallback_schema=fallback_schema)
     ds = ds.map_batches(
         decoder.__call__,
         batch_format="pyarrow",

@@ -17,7 +17,8 @@ class StripeDecoder:
     def __init__(self, columns: list[str] | None = None,
                  predicate: tuple | None = None,
                  schema: pa.Schema | None = None,
-                 on_error: str = "raise"):
+                 on_error: str = "raise",
+                 fallback_schema: pa.Schema | None = None):
         self.columns = columns
         # (col, op, lit): on row-indexed stripes, skips non-qualifying
         # strides before decompression; caller still applies the exact filter
@@ -33,6 +34,11 @@ class StripeDecoder:
         # skip count is visible in Ray's captured task logs)
         assert on_error in ("raise", "skip")
         self.on_error = on_error
+        # skip-mode safety net: when EVERY stripe of a task is corrupt, the
+        # empty output still needs a schema (a schema-less pa.table({})
+        # makes downstream blocks heterogeneous and column refs fail) —
+        # read_stripes derives this from the first readable footer
+        self.fallback_schema = fallback_schema
 
     def _conform(self, table: pa.Table) -> pa.Table:
         cols = {}
@@ -71,5 +77,7 @@ class StripeDecoder:
         if not tables:
             if self.schema is not None:
                 return self.schema.empty_table()
+            if self.fallback_schema is not None:
+                return self.fallback_schema.empty_table()
             return pa.table({})
         return pa.concat_tables(tables)

@@ -492,6 +492,33 @@ def test_skip_corrupt_stripe(ray_session, tmp_path):
     assert set(df["k"]) == set(range(100)) | set(range(200, 300))
 
 
+def test_skip_all_corrupt_yields_typed_empty(ray_session, tmp_path):
+    """A directory where EVERY stripe's data is corrupt must still produce
+    a TYPED empty dataset in skip mode (schema from the first readable
+    footer), not a schema-less column-less one."""
+    import numpy as np
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.stripes import read_stripes
+    from apacheorcdotnet_ray.stripe import encode_stripe
+
+    d = tmp_path / "allcorrupt"
+    d.mkdir()
+    for s in range(2):
+        t = pa.table({"k": pa.array(np.arange(100, dtype=np.int64))})
+        buf, _ = encode_stripe(t)
+        b = bytearray(buf)
+        b[10] ^= 0xFF  # data corruption; footer stays readable
+        (d / f"s{s}.oray").write_bytes(bytes(b))
+
+    ds = read_stripes(str(d), on_error="skip")
+    tbl = ds.take_batch(batch_format="pyarrow") if ds.count() else None
+    assert ds.count() == 0 and tbl is None
+    # the dataset-level schema is typed (Ray's to_pandas drops columns on
+    # all-empty datasets regardless — known upstream quirk, see CLAUDE.md)
+    assert ds.schema().names == ["k"]
+
+
 def test_map_footers_ray_fanout(ray_session, tmp_path):
     """>256 stripes exercises the ray.remote chunked footer fan-out."""
     import numpy as np
