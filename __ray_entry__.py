@@ -319,6 +319,47 @@ def _predicate_scan_temporal(sf_dir: str):
     ))
 
 
+def _dedup_minhash_exact(sf_dir: str):
+    """MinHash+LSH against an EXACT SQL oracle: at jaccard_threshold=1.0 the
+    sketch+verify pipeline must find precisely the identical-shingle-set
+    pairs, which on this corpus equal the identical-text pairs (verified: no
+    distinct-text set collisions). The corpus has no natural exact dups, so
+    the query doubles it (each doc + an offset-id copy) — the full banded
+    LSH shuffle + in-bucket verify path then has one guaranteed pair per
+    doc, value-checked (ids AND jaccard=1.0) against the self-join oracle."""
+    import pyarrow.compute as pc
+
+    from apacheorcdotnet_ray.pipelines import dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def copy_ids(b):
+        i = b.schema.get_field_index("doc_id")
+        return b.set_column(i, "doc_id", pc.add(b.column("doc_id"), 1_000_000))
+
+    doubled = docs.union(docs.map_batches(copy_ids, batch_format="pyarrow"))
+    return dedup.dedup_minhash_lsh(doubled, jaccard_threshold=1.0)
+
+
+def _hll_error_bound(sf_dir: str):
+    """HyperLogLog estimate checked against the exact distributed distinct
+    count: |est - n| must sit within 3σ = 3·1.04/√m of relative error —
+    turns the sketch's no_oracle row into a checkable correctness row."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.pipelines import stats
+    from apacheorcdotnet_ray.pipelines.stats import _HLL_P
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    est = stats.distinct_count_hll(ds, "l_partkey")["n_distinct_approx"][0].as_py()
+    exact = stats.distinct_count(
+        _read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey"
+    )["n_distinct"][0].as_py()
+    sigma = 1.04 / (1 << _HLL_P) ** 0.5
+    ok = abs(est - exact) <= 3 * sigma * exact
+    return pa.table({"within_3sigma": pa.array([ok], type=pa.bool_())})
+
+
 def _predicate_scan_conj(sf_dir: str):
     """Conjunction pushdown: two predicate terms prune stripes+strides and
     late-materialize together."""
@@ -582,6 +623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _media_frame_sample,
         # --- (3) new this round ---
         "predicate_scan_temporal": _predicate_scan_temporal,
+        "dedup_minhash_exact": _dedup_minhash_exact,
+        "hll_error_bound": _hll_error_bound,
         # --- (4) round-2 rows ---
         "roundtrip_region": roundtrip("region"),
         "roundtrip_nation": roundtrip("nation"),
@@ -768,6 +811,14 @@ def oracle_sql() -> dict[str, str]:
             " WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'"
             " AND ts < TIMESTAMP '2024-01-12 00:00:00'"
         ),
+        "dedup_minhash_exact": (
+            "WITH pool AS (SELECT doc_id, text FROM documents"
+            " UNION ALL SELECT doc_id + 1000000, text FROM documents)"
+            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " CAST(1.0 AS DOUBLE) AS jaccard"
+            " FROM pool a JOIN pool b ON a.text = b.text AND a.doc_id < b.doc_id"
+        ),
+        "hll_error_bound": "SELECT TRUE AS within_3sigma",
         "predicate_scan_bloom": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
             " WHERE l_partkey = 577"
