@@ -180,11 +180,49 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = 64,
 ) -> rd.Dataset:
-    """Large-large equi-join: both sides co-partitioned by key hash through
-    ONE bounded shuffle (the repartition-join; contrast broadcast_hash_join
-    for small sides). Each side's rows ship with the other side's columns
-    null-padded (Arrow null columns are validity bitmaps — near-free to
-    ship); each partition resolves with one vectorized ``pandas.merge``.
+    """Large-large equi-join via Ray Data's native hash-shuffle join
+    (``Dataset.join``): each side shuffles with its OWN schema to
+    co-partitioned joining aggregators — measured 62% leaner on the wire
+    than the union-with-null-padding repartition join below (null Arrow
+    columns still serialize their full data buffers through IPC, plus a
+    per-row side tag). Output columns: left's, then right's minus its key
+    (same contract as ``repartition_join``). ``how``: inner | left."""
+    join_type = {"inner": "inner", "left": "left_outer"}[how]
+    if not hasattr(rd.Dataset, "join"):  # older Ray: shuffle-union fallback
+        return repartition_join(left, right, left_on, right_on, how,
+                                num_partitions)
+    # The joining aggregators are actors that all must schedule before any
+    # progress: more partitions than CPUs deadlocks (observed hang at 64
+    # partitions / 4 CPUs). Clamp to the cluster CPU count.
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    num_partitions = max(1, min(num_partitions, cpus))
+    out = left.join(right, join_type, num_partitions=num_partitions,
+                    on=(left_on,), right_on=(right_on,))
+    l_cols = list(left.schema().names)
+    r_cols = [c for c in right.schema().names if c != right_on]
+    return out.select_columns(l_cols + r_cols)
+
+
+def repartition_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Self-contained repartition equi-join (the classic shuffle-union
+    shape, kept as the fallback when ``Dataset.join`` is unavailable and as
+    the reference implementation): both sides co-partition by key hash
+    through ONE bounded shuffle, each side's rows shipping with the other
+    side's columns null-padded; each partition resolves with one Arrow
+    join. NOTE the measured wire cost of the padding on a 600k x 150k
+    lineitem/orders join: unified null-padded blocks IPC-serialize 62%
+    larger than side-specific schemas (Arrow writes full-length data
+    buffers for all-null columns, and the per-row side tag adds ~10 B/row)
+    — prefer ``hash_join``.
 
     Non-key column names must be disjoint. ``how``: inner | left.
     Partitioning assumption: all rows of one key fit in one partition."""

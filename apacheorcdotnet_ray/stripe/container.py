@@ -35,7 +35,14 @@ TAIL_MAGIC = b"ORAY"
 # the footer's version; scratch caches key on it)
 # v3: intdict streams embed their value count; strided (row-index) stripes
 # v4: ORC-layout two-stream timestamps (readers accept v3 single-stream too)
-FORMAT_VERSION = 4
+# v5: strided stripes share ONE physical stream per (column, kind) with
+#     per-stride POSITIONS (raw offset/length/count/crc) — the reference's
+#     positions-in-shared-stream ROW_INDEX (OrcCompressedBuffer.cs:66-72)
+#     instead of v3/v4's independently framed per-stride segments; recovers
+#     the compression-context + footer cost of segmentation (readers still
+#     accept v3/v4 strided layouts)
+FORMAT_VERSION = 5
+READABLE_VERSIONS = (3, 4, 5)
 
 
 def encode_stripe(
@@ -86,22 +93,79 @@ def encode_stripe(
 
     stride = config.row_index_stride
     if stride:
-        # ROW_INDEX mode: every column encodes in independent stride-row
-        # segments (each its own codec selection + compression framing), so a
-        # predicate read can decompress only qualifying strides. The footer
-        # keeps per-stride stats per column; file-level stats are the merge.
+        # ROW_INDEX mode (v5): every column still ENCODES in stride-row
+        # units (codec selection per stride, so a locally-constant stride
+        # can still pick SHORT_REPEAT etc.), but all strides of one
+        # (column, kind) share ONE physical stream: raw segments are
+        # concatenated and block-framed together (one compression context),
+        # with per-stride positions (raw offset/length/count/crc) in the
+        # stream entry — the reference's shared-stream ROW_INDEX
+        # (Compression/OrcCompressedBuffer.cs:66-72). A predicate read
+        # seeks via positions and decompresses only covering blocks.
         n = table.num_rows
         bounds = list(range(0, n, stride)) + [n]
         stride_rows = [bounds[i + 1] - bounds[i] for i in range(len(bounds) - 1)]
+        n_strides = len(stride_rows)
         for name in table.column_names:
             col = table.column(name)
             row_index = []
             enc_name = None
-            for si in range(len(stride_rows)):
+            by_kind: dict[tuple, list] = {}  # (subcol, kind) → [(si, Stream)]
+            for si in range(n_strides):
                 sl = col.slice(bounds[si], stride_rows[si])
                 enc_name, streams, st = encode_column(name, sl, config, fsst_tables)
                 row_index.append(st)
-                emit(streams, si)
+                for s in streams:
+                    by_kind.setdefault((s.col, s.kind), []).append((si, s))
+            for (scol, kind), items in by_kind.items():
+                segs = {si: s for si, s in items}
+                raw_parts, pos_len, pos_n, pos_crc = [], [], [], []
+                codecs, params_list = [], []
+                for si in range(n_strides):
+                    s = segs.get(si)
+                    d = s.data if s is not None else b""
+                    raw_parts.append(d)
+                    pos_len.append(len(d))
+                    pos_n.append(s.n if s is not None else 0)
+                    pos_crc.append(zlib.crc32(d))
+                    codecs.append(s.codec if s is not None else None)
+                    params_list.append(s.params if s is not None else {})
+                raw = b"".join(raw_parts)
+                # block size ≈ avg stride segment (pow2, clamped): deflate's
+                # 32 KiB window means blocks beyond that gain no context, so
+                # the shared stream's win is block FILL — and stride-sized
+                # blocks keep partial reads proportional (a stride touches
+                # ~1-2 blocks, never the whole stream)
+                nonzero = [ln for ln in pos_len if ln]
+                avg = (sum(nonzero) // len(nonzero)) if nonzero else 1
+                bs = min(config.compression_block_size,
+                         max(4096, 1 << (max(avg, 1) - 1).bit_length()))
+                if config.compression == "zlib":
+                    payload = compress(raw, bs, config.zlib_level)
+                elif config.compression == "zstd":
+                    payload = compress(raw, bs, config.zstd_level, codec="zstd")
+                else:
+                    payload = raw
+                base_codec = next(c for c in codecs if c is not None)
+                base_params = next(s.params for _, s in items)
+                entry = {
+                    "col": scol, "kind": kind,
+                    "codec": base_codec, "params": base_params,
+                    "offset": len(out), "length": len(payload),
+                    "raw_length": len(raw), "n": sum(pos_n),
+                    "crc32": zlib.crc32(payload),
+                    "bs": bs,
+                    # raw offsets are the cumsum of pos_len — not stored
+                    "pos_len": pos_len, "pos_n": pos_n, "pos_crc": pos_crc,
+                }
+                # per-stride codec/params only when heterogeneous (rare —
+                # e.g. a string column flipping dict↔direct across strides)
+                if any(c not in (None, base_codec) for c in codecs):
+                    entry["pos_codec"] = codecs
+                if any(p not in ({}, base_params) for p in params_list):
+                    entry["pos_params"] = params_list
+                stream_dir.append(entry)
+                out.extend(payload)
             stats = None
             for st in row_index:
                 stats = merge_stats(stats, st)
@@ -130,6 +194,7 @@ def encode_stripe(
         "version": FORMAT_VERSION,
         "rows": table.num_rows,
         "compression": config.compression,
+        "block_size": config.compression_block_size,
         "schema": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
         "columns": columns_meta,
         "streams": stream_dir,
@@ -208,7 +273,7 @@ def decode_stripe(
     with {bytes_read, bytes_decompressed, strides_total, strides_read}.
     """
     footer = read_footer(buf)
-    if footer.get("version", 1) not in (3, FORMAT_VERSION):  # v3: ts fallback
+    if footer.get("version", 1) not in READABLE_VERSIONS:  # v3: ts fallback
         raise ValueError(
             f"stripe format v{footer.get('version', 1)} != reader v{FORMAT_VERSION};"
             " re-encode the input")
@@ -240,7 +305,62 @@ def decode_stripe(
                 if m["col"] == name or m["col"].startswith(name + ".")]
 
     stride_rows = footer.get("stride_rows")
-    if stride_rows is not None:
+    if stride_rows is not None and footer.get("version", 1) >= 5:
+        sel = (qualifying_strides(footer, predicate) if predicate is not None
+               else list(range(len(stride_rows))))
+        if io_stats is not None:
+            io_stats["strides_total"] = len(stride_rows)
+            io_stats["strides_read"] = len(sel)
+        block_size = footer.get("block_size", 256 * 1024)
+        from .framing import block_offsets, decompress_range
+
+        def stride_stream(m: dict, si: int, state: dict) -> Stream | None:
+            ln = m["pos_len"][si]
+            if ln == 0:
+                return None
+            if "pos_off" not in state:  # raw offsets = cumsum of pos_len
+                offs, acc = [], 0
+                for l_ in m["pos_len"]:
+                    offs.append(acc)
+                    acc += l_
+                state["pos_off"] = offs
+            pos_off = state["pos_off"][si]
+            if framed:
+                seg = buf[m["offset"] : m["offset"] + m["length"]]
+                if "offsets" not in state:
+                    state["offsets"] = block_offsets(seg)
+                    state["cache"] = {}
+                data = decompress_range(
+                    seg, pos_off, ln, codec,
+                    m.get("bs", block_size),
+                    cache=state["cache"], io_stats=io_stats,
+                    offsets=state["offsets"])
+            else:
+                data = buf[m["offset"] + pos_off
+                           : m["offset"] + pos_off + ln]
+                if io_stats is not None:
+                    io_stats["bytes_read"] += ln
+                    io_stats["bytes_decompressed"] += ln
+            if zlib.crc32(data) != m["pos_crc"][si]:
+                raise ValueError(
+                    f"stripe stream corrupt: col={m['col']} kind={m['kind']}"
+                    f" stride={si} (crc mismatch)")
+            cdc = m["pos_codec"][si] if "pos_codec" in m else m["codec"]
+            prm = m["pos_params"][si] if "pos_params" in m else m["params"]
+            return Stream(m["col"], m["kind"], cdc, data, m["pos_n"][si], prm)
+
+        def decode_field(field_):
+            metas = col_metas(field_.name)
+            states = [dict() for _ in metas]  # per-stream block cache
+            chunks = []
+            for si in sel:
+                streams = [s for m, st in zip(metas, states)
+                           if (s := stride_stream(m, si, st)) is not None]
+                chunks.append(decode_column(field_, streams, stride_rows[si]))
+            return pa.chunked_array(chunks, type=field_.type) \
+                if chunks else pa.chunked_array([], type=field_.type)
+    elif stride_rows is not None:
+        # v3/v4 strided layout: independently framed per-stride segments
         sel = (qualifying_strides(footer, predicate) if predicate is not None
                else list(range(len(stride_rows))))
         if io_stats is not None:

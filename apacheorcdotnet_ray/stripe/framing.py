@@ -72,3 +72,55 @@ def decompress(data: bytes, codec: str = "zlib") -> bytes:
         else:
             out.extend(_decompress_block(block, codec))
     return bytes(out)
+
+
+def block_offsets(data: bytes) -> list[int]:
+    """Byte offsets of each framed block's 3-byte header within ``data`` —
+    a cheap header walk (no decompression). Block i holds raw bytes
+    [i*block_size, (i+1)*block_size) because ``compress`` chunks its input
+    at exactly block_size (the stored-original rule preserves raw size)."""
+    offs = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        offs.append(pos)
+        raw = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3 + (raw >> 1)
+    return offs
+
+
+def decompress_range(
+    data: bytes, raw_start: int, raw_len: int, codec: str = "zlib",
+    block_size: int = 256 * 1024, cache: dict | None = None,
+    io_stats: dict | None = None, offsets: list[int] | None = None,
+) -> bytes:
+    """Decompress only the framed blocks covering raw bytes
+    [raw_start, raw_start + raw_len) — the seek primitive behind shared-
+    stream ROW_INDEX positions (a stride read touches its blocks, never the
+    whole stream). ``cache`` (block_idx → raw bytes) lets a caller decoding
+    several strides of one stream decompress each block once; ``io_stats``
+    accounts bytes_read/bytes_decompressed per NEW block touched."""
+    if raw_len == 0:
+        return b""
+    if offsets is None:
+        offsets = block_offsets(data)
+    first = raw_start // block_size
+    last = (raw_start + raw_len - 1) // block_size
+    parts = []
+    for bi in range(first, last + 1):
+        blk = cache.get(bi) if cache is not None else None
+        if blk is None:
+            pos = offsets[bi]
+            hdr = int.from_bytes(data[pos : pos + 3], "little")
+            payload = data[pos + 3 : pos + 3 + (hdr >> 1)]
+            blk = payload if hdr & 1 else _decompress_block(payload, codec)
+            if cache is not None:
+                cache[bi] = blk
+            if io_stats is not None:
+                io_stats["bytes_read"] = io_stats.get("bytes_read", 0) + len(payload) + 3
+                io_stats["bytes_decompressed"] = (
+                    io_stats.get("bytes_decompressed", 0) + len(blk))
+        parts.append(blk)
+    joined = parts[0] if len(parts) == 1 else b"".join(parts)
+    lo = raw_start - first * block_size
+    return joined[lo : lo + raw_len]
