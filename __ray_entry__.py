@@ -20,6 +20,12 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+# log hygiene only (no ray.init here — driver owns the session): drop Ray's
+# cosmetic empty-range-partition schema warnings, see apacheorcdotnet_ray/raylog.py
+from apacheorcdotnet_ray.raylog import suppress_empty_schema_warnings
+
+suppress_empty_schema_warnings()
+
 _SCRATCH = "/tmp/oray_queries"
 
 

@@ -54,6 +54,13 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    # Ray's sort shuffle emits schema-less EMPTY range partitions that the
+    # executor warns about once each; our blocks are always typed, so drop
+    # exactly that cosmetic variant (see apacheorcdotnet_ray/raylog.py).
+    from apacheorcdotnet_ray.raylog import suppress_empty_schema_warnings
+
+    suppress_empty_schema_warnings()
+
     import ray.data as rd
 
     from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus

@@ -47,6 +47,9 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from apacheorcdotnet_ray.raylog import suppress_empty_schema_warnings
+
+    suppress_empty_schema_warnings()
 
     import duckdb
     import pandas as pd
