@@ -631,6 +631,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predicate_scan_temporal": _predicate_scan_temporal,
         "dedup_minhash_exact": _dedup_minhash_exact,
         "hll_error_bound": _hll_error_bound,
+        "decontaminate": _decontaminate,
+        "redact_terms": _redact_terms,
+        "gopher_filter": _gopher_filter,
+        "chunk_documents": _chunk_documents,
+        "percentile_filter": _percentile_filter,
         # --- (4) round-2 rows ---
         "roundtrip_region": roundtrip("region"),
         "roundtrip_nation": roundtrip("nation"),
@@ -752,6 +757,48 @@ def _pack_sequences(sf_dir: str):
     ds = tokenize_documents(_read(sf_dir, "documents"))
     return pack_sequences(ds, seq_len=512, pad_id=0) \
         .select_columns(["first_doc", "n_docs", "n_tokens"])
+
+
+def _decontaminate(sf_dir: str):
+    """Benchmark decontamination: remove train docs sharing any 8-word
+    shingle with the eval set (here: the src0 slice stands in for the eval
+    benchmark)."""
+    from apacheorcdotnet_ray.pipelines import curate
+
+    train = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    test = _read(sf_dir, "documents", columns=["source", "text"]) \
+        .filter(expr="source == 'src0'")
+    return curate.decontaminate(train, test, n=8)
+
+
+def _redact_terms(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines import curate
+
+    return curate.redact_terms(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        terms=("data", "hash"))
+
+
+def _gopher_filter(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines import curate
+
+    return curate.gopher_filter(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _chunk_documents(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines import curate
+
+    return curate.chunk_documents(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), chunk_words=32)
+
+
+def _percentile_filter(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines import curate
+
+    return curate.percentile_filter(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        "n_chars", q=0.5)
 
 
 def _media_features(sf_dir: str):
@@ -1149,6 +1196,55 @@ def oracle_sql() -> dict[str, str]:
             "   (SELECT embedding FROM embeddings"
             "    WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC, vec_id"
             " LIMIT 10"
+        ),
+        "decontaminate": (
+            "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws"
+            "   FROM documents),"
+            " sh AS (SELECT doc_id, source,"
+            "   unnest(list_transform(range(1, len(ws) - 6), i -> "
+            + " || ' ' || ".join(f"ws[i+{j}]" for j in range(8)) +
+            ")) AS s FROM w WHERE len(ws) >= 8),"
+            " t AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),"
+            " dirty AS (SELECT DISTINCT doc_id FROM sh"
+            "   WHERE s IN (SELECT s FROM t))"
+            " SELECT doc_id FROM documents"
+            " WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"
+        ),
+        "redact_terms": (
+            r"SELECT doc_id, regexp_replace(text, '\b(data|hash)\b',"
+            " '[REDACTED]', 'g') AS clean_text,"
+            r" CAST(len(regexp_extract_all(text, '\b(data|hash)\b'))"
+            " AS BIGINT) AS n_redacted FROM documents"
+        ),
+        "gopher_filter": (
+            "WITH base AS (SELECT doc_id, text,"
+            "   len(string_split(text, ' ')) AS nw, length(text) AS tl"
+            "   FROM documents),"
+            " top AS (SELECT doc_id, max(c) AS topc FROM"
+            "   (SELECT doc_id, w, count(*) AS c FROM"
+            "     (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+            "      FROM documents) GROUP BY doc_id, w) GROUP BY doc_id)"
+            " SELECT b.doc_id FROM base b JOIN top USING (doc_id)"
+            " WHERE nw BETWEEN 30 AND 100000"
+            "  AND CAST(tl - (nw - 1) AS DOUBLE) / nw >= 2.5"
+            "  AND CAST(tl - (nw - 1) AS DOUBLE) / nw <= 10.0"
+            f"  AND ({stopword_terms}) >= 2"
+            "  AND CAST(topc AS DOUBLE) / nw <= 0.2"
+        ),
+        "chunk_documents": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws"
+            "   FROM documents),"
+            " c AS (SELECT doc_id, ws, unnest(range(0,"
+            "   CAST(ceil(len(ws) / 32.0) AS BIGINT))) AS chunk_idx FROM w)"
+            " SELECT doc_id, chunk_idx,"
+            " array_to_string(ws[chunk_idx * 32 + 1 :"
+            "   least((chunk_idx + 1) * 32, len(ws))], ' ') AS chunk_text,"
+            " CAST(least((chunk_idx + 1) * 32, len(ws)) - chunk_idx * 32"
+            "   AS BIGINT) AS n_words FROM c"
+        ),
+        "percentile_filter": (
+            "SELECT doc_id FROM documents WHERE n_chars >"
+            " (SELECT quantile_disc(n_chars, 0.5) FROM documents)"
         ),
         # dedup_minhash / dedup_simhash / doc_fingerprints / ann_ivf:
         # intentionally no oracle (sketch/approximate operators) → rows-only check
