@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..codecs import bool_rle, byte_rle, for_, fsst, intdict, rlev2, varint
+from ..codecs import bool_rle, bss, byte_rle, for_, fsst, intdict, rlev2, varint
 from .config import EncodeConfig
 from .stats import column_stats
 
@@ -244,9 +244,27 @@ def _encode_values(name: str, valid: pa.Array, config: EncodeConfig,
         return "boolrle"
 
     if pa.types.is_floating(t):
-        # raw IEEE-754 LE, like the reference (ColumnTypes/FloatWriter.cs)
-        raw = valid.to_numpy(zero_copy_only=False).tobytes()
-        streams.append(Stream(name, DATA, "raw", raw, nv, {"dtype": str(valid.type)}))
+        # raw IEEE-754 LE, like the reference (ColumnTypes/FloatWriter.cs),
+        # vs byte-stream-split — competed on a zlib'd sample, since BSS only
+        # pays off through the downstream block compression
+        vals_np = valid.to_numpy(zero_copy_only=False)
+        if ("bss" in config.float_codecs and nv
+                and config.compression != "none"):
+            from .framing import compress as _fcompress
+
+            level = (config.zlib_level if config.compression == "zlib"
+                     else config.zstd_level)
+            sample = vals_np[: config.selector_sample_size]
+            raw_c = len(_fcompress(sample.tobytes(), config.compression_block_size,
+                                   level, codec=config.compression))
+            bss_c = len(_fcompress(bss.encode(sample), config.compression_block_size,
+                                   level, codec=config.compression))
+            if bss_c < 0.98 * raw_c:
+                streams.append(Stream(name, DATA, "bss", bss.encode(vals_np),
+                                      nv, {"dtype": str(valid.type)}))
+                return "bss"
+        streams.append(Stream(name, DATA, "raw", vals_np.tobytes(), nv,
+                              {"dtype": str(valid.type)}))
         return "raw"
 
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
@@ -457,7 +475,10 @@ def _decode_values(name: str, t: pa.DataType, by_kind: dict, child_streams: list
 
     if pa.types.is_floating(t):
         dtype = np.float32 if pa.types.is_float32(t) else np.float64
-        return pa.array(np.frombuffer(by_kind[DATA].data, dtype=dtype, count=nv), type=t)
+        s = by_kind[DATA]
+        if s.codec == "bss":
+            return pa.array(bss.decode(s.data, nv, dtype), type=t)
+        return pa.array(np.frombuffer(s.data, dtype=dtype, count=nv), type=t)
 
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
         return _decode_string(t, by_kind, nv)

@@ -21,6 +21,10 @@ class EncodeConfig:
     selector_sample_size: int = 4096    # values sampled per chunk for codec choice
     int_codecs: tuple[str, ...] = ("rlev2", "for", "intdict")
     string_codecs: tuple[str, ...] = ("direct", "dict", "fsst")
+    # float columns: "raw" IEEE (reference parity, DoubleWriter.cs) vs "bss"
+    # byte-stream-split (Parquet-spec encoding; wins after block compression
+    # on embedding-style data) — chosen by compressed-sample compete
+    float_codecs: tuple[str, ...] = ("raw", "bss")
     enable_fsst: bool = True
     intdict_max_card_ratio: float = 0.5  # try intdict only if sample uniq ratio below
 
