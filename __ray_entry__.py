@@ -636,6 +636,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _gopher_filter,
         "chunk_documents": _chunk_documents,
         "percentile_filter": _percentile_filter,
+        "kmeans_assign": _kmeans_assign,
+        "kmeans_clusters": _kmeans_clusters,
+        "bpe_merges": _bpe_merges,
+        "bpe_token_count": _bpe_token_count,
+        "repetition_filter": _repetition_filter,
         # --- (4) round-2 rows ---
         "roundtrip_region": roundtrip("region"),
         "roundtrip_nation": roundtrip("nation"),
@@ -799,6 +804,48 @@ def _percentile_filter(sf_dir: str):
     return curate.percentile_filter(
         _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
         "n_chars", q=0.5)
+
+
+def _kmeans_assign(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines import cluster
+
+    return cluster.kmeans_assign(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=8)
+
+
+def _kmeans_clusters(sf_dir: str):
+    """Corpus-exact distributed Lloyd (iterative → rows-only check)."""
+    from apacheorcdotnet_ray.pipelines import cluster
+
+    return cluster.kmeans(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=8, iters=5)
+
+
+def _repetition_filter(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines import curate
+
+    # max_dup_frac=0 is the discriminative setting on this corpus (drops the
+    # 27 docs with any duplicated 3-gram at sf0.01)
+    return curate.repetition_filter(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=3, max_dup_frac=0.0)
+
+
+def _bpe_merges(sf_dir: str):
+    """BPE vocabulary training (iterative merge loop → rows-only check)."""
+    from apacheorcdotnet_ray.pipelines import bpe
+
+    return bpe.bpe_train(
+        _read(sf_dir, "documents", columns=["text"]), n_merges=20)
+
+
+def _bpe_token_count(sf_dir: str):
+    """Apply a trained merge table per doc (model-derived → rows-only)."""
+    from apacheorcdotnet_ray.pipelines import bpe
+
+    return bpe.bpe_token_count(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n_merges=20)
 
 
 def _media_features(sf_dir: str):
@@ -1245,6 +1292,31 @@ def oracle_sql() -> dict[str, str]:
         "percentile_filter": (
             "SELECT doc_id FROM documents WHERE n_chars >"
             " (SELECT quantile_disc(n_chars, 0.5) FROM documents)"
+        ),
+        "repetition_filter": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text"
+            "   FROM documents),"
+            " sh AS (SELECT doc_id,"
+            "   CASE WHEN len(ws) < 3 THEN [text]"
+            "        ELSE list_transform(range(1, len(ws) - 1),"
+            "             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+            "   END AS s FROM w)"
+            " SELECT doc_id FROM sh"
+            " WHERE CAST(len(s) - len(list_distinct(s)) AS DOUBLE) / len(s)"
+            "   <= 0.0"
+        ),
+        # IDs-only result so ulp-level cosine differences between engines
+        # can't flip the value hash (same discipline as ann_topk)
+        "kmeans_assign": (
+            "WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            "   AS cluster, embedding"
+            "   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),"
+            " s AS (SELECT e.vec_id, c.cluster,"
+            "   list_cosine_similarity(e.embedding, c.embedding) AS sim"
+            "   FROM embeddings e CROSS JOIN c),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY vec_id"
+            "   ORDER BY sim DESC, cluster) AS rn FROM s)"
+            " SELECT vec_id, cluster FROM r WHERE rn = 1"
         ),
         # dedup_minhash / dedup_simhash / doc_fingerprints / ann_ivf:
         # intentionally no oracle (sketch/approximate operators) → rows-only check

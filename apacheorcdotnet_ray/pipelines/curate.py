@@ -218,6 +218,31 @@ def chunk_documents(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_filter(
+    ds: rd.Dataset,
+    n: int = 3,
+    max_dup_frac: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Gopher-style repetition gate: drop docs whose fraction of DUPLICATED
+    n-word shingles exceeds ``max_dup_frac``. Single streaming pass; per-doc
+    distinct counts via one lexsort (``dedup._unique_per_doc``). Uses dedup's
+    short-doc convention (docs under n words contribute one fallback shingle
+    → dup fraction 0, trivially kept), mirrored by the SQL ``[text]`` arm."""
+    from .dedup import _unique_per_doc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offs = _batch_shingle_hashes(batch.column(text_col), n)
+        total = np.diff(offs)
+        _, uoffs = _unique_per_doc(flat, offs)
+        distinct = np.diff(uoffs)
+        keep = (total - distinct).astype(np.float64) / total <= max_dup_frac
+        return batch.filter(pa.array(keep)).select([id_col])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def percentile_filter(
     ds: rd.Dataset,
     col: str,

@@ -80,6 +80,21 @@ def test_top_word_counts_vectorized():
     assert curate._top_word_counts(texts).tolist() == [2, 1, 4]
 
 
+def test_repetition_filter(ray_session):
+    ds = _ds([
+        {"doc_id": 1, "text": "a b c d e f g"},          # all 3-grams distinct
+        {"doc_id": 2, "text": "x y z x y z x y z"},      # heavy repetition
+        {"doc_id": 3, "text": "hi"},                      # short → trivially kept
+    ])
+    kept = sorted(r["doc_id"] for r in
+                  curate.repetition_filter(ds, n=3, max_dup_frac=0.0).take_all())
+    assert kept == [1, 3]
+    # loose threshold keeps the repetitive doc too (4 dup of 7 ≈ 0.57)
+    kept = sorted(r["doc_id"] for r in
+                  curate.repetition_filter(ds, n=3, max_dup_frac=0.6).take_all())
+    assert kept == [1, 2, 3]
+
+
 def test_percentile_filter_strictly_above(ray_session):
     ds = _ds([{"doc_id": i, "n_chars": v} for i, v in enumerate([1, 2, 3, 4, 5])])
     kept = sorted(r["doc_id"] for r in
