@@ -641,6 +641,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _bpe_merges,
         "bpe_token_count": _bpe_token_count,
         "repetition_filter": _repetition_filter,
+        "value_histogram": lambda sf_dir: stats.value_histogram(
+            _read(sf_dir, "events", columns=["value"]), "value",
+            bin_width=0.25),
+        "corr_lineitem": lambda sf_dir: stats.corr_columns(
+            _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+            "l_partkey", "l_suppkey"),
+        "normalize_text": lambda sf_dir: text.normalize_text(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])),
         # --- (4) round-2 rows ---
         "roundtrip_region": roundtrip("region"),
         "roundtrip_nation": roundtrip("nation"),
@@ -1292,6 +1300,30 @@ def oracle_sql() -> dict[str, str]:
         "percentile_filter": (
             "SELECT doc_id FROM documents WHERE n_chars >"
             " (SELECT quantile_disc(n_chars, 0.5) FROM documents)"
+        ),
+        "value_histogram": (
+            "SELECT CAST(floor(value / 0.25) AS BIGINT) AS bin,"
+            " count(*) AS n FROM events GROUP BY bin"
+        ),
+        # all six sums are exact integers (HUGEINT in DuckDB, arbitrary-
+        # precision int in Python); the single closing float expression is
+        # written identically on both sides → bit-equal double
+        "corr_lineitem": (
+            "WITH s AS (SELECT count(*) AS n,"
+            "   CAST(sum(l_partkey) AS HUGEINT) AS sx,"
+            "   CAST(sum(l_suppkey) AS HUGEINT) AS sy,"
+            "   CAST(sum(l_partkey * l_partkey) AS HUGEINT) AS sxx,"
+            "   CAST(sum(l_suppkey * l_suppkey) AS HUGEINT) AS syy,"
+            "   CAST(sum(l_partkey * l_suppkey) AS HUGEINT) AS sxy"
+            "   FROM lineitem)"
+            " SELECT CAST(n AS BIGINT) AS n_rows,"
+            " CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr FROM s"
+        ),
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(lower(text),"
+            " '[^a-z0-9]+', ' ', 'g'), ' ') AS norm_text FROM documents"
         ),
         "repetition_filter": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text"

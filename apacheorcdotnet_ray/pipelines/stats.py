@@ -509,3 +509,60 @@ def group_rollup(ds: rd.Dataset, key: str, value_col: str) -> rd.Dataset:
         "n_rows": pa.array([r["n_rows"] for r in rows]
                            + [sum(r["n_rows"] for r in rows)], type=pa.int64()),
     }))
+
+
+def value_histogram(ds: rd.Dataset, col: str, bin_width: float = 10.0) -> rd.Dataset:
+    """Fixed-width histogram: bin = floor(value / bin_width). One streaming
+    pass of per-batch bin value_counts partials, bounded-partition sum — the
+    distinct-bin domain crosses the wire, never values. floor-after-divide is
+    the same single IEEE op in the SQL oracle, so counts are value-exact."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        vals, counts = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(vals),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    from .dedup import _grouped_map
+
+    def reduce_part(df):
+        return df.groupby("bin", sort=False, as_index=False)["n"].sum()
+
+    return _grouped_map(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["bin"], reduce_part)
+
+
+def corr_columns(ds: rd.Dataset, x: str, y: str) -> pa.Table:
+    """Pearson correlation of two INTEGER columns with exact arithmetic up to
+    the final expression: per-batch int64 partial sums (n, sx, sy, sxx, syy,
+    sxy) — six numbers per batch to the driver — combined in arbitrary-
+    precision Python int, then ONE float expression identical to the SQL
+    oracle's, so the double result is bit-equal."""
+    import math
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xv = batch.column(x).to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = batch.column(y).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({k: pa.array([int(v)], type=pa.int64()) for k, v in (
+            ("n", len(xv)), ("sx", xv.sum()), ("sy", yv.sum()),
+            ("sxx", (xv * xv).sum()), ("syy", (yv * yv).sum()),
+            ("sxy", (xv * yv).sum()))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    sx = sum(r["sx"] for r in rows)
+    sy = sum(r["sy"] for r in rows)
+    sxx = sum(r["sxx"] for r in rows)
+    syy = sum(r["syy"] for r in rows)
+    sxy = sum(r["sxy"] for r in rows)
+    corr = float(n * sxy - sx * sy) / (
+        math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy)))
+    return pa.table({
+        "n_rows": pa.array([n], type=pa.int64()),
+        "corr": pa.array([corr], type=pa.float64()),
+    })

@@ -439,3 +439,18 @@ def vocab_counts(ds: rd.Dataset, k: int = 20, vocab: int = VOCAB,
         "token_id": pa.array(order.astype(np.int32)),
         "cnt": pa.array(total[order]),
     })
+
+
+def normalize_text(ds: rd.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text") -> rd.Dataset:
+    """Canonical text normalization for downstream dedup/tokenization:
+    lowercase, collapse non-alphanumeric runs to one space, trim. One
+    vectorized pass of Arrow RE2 kernels; DuckDB's regexp_replace is RE2
+    too, so the oracle is string-exact."""
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch.column(text_col))
+        t = pc.replace_substring_regex(t, "[^a-z0-9]+", " ")
+        t = pc.utf8_trim(t, " ")
+        return pa.table({id_col: batch.column(id_col), "norm_text": t})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

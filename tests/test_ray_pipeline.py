@@ -606,3 +606,48 @@ def test_zorder_prunes_both_columns(ray_session, tmp_path):
     got = decode_dataset(zdir, predicate=pred_y).to_pandas()
     assert (got["y"] <= 50).all()
     assert len(got) == int((t.column("y").to_numpy() <= 50).sum())
+
+
+def test_value_histogram_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    vals = [0.1, 0.2, 0.26, 0.5, 0.74, 0.75, -0.1, -0.26]
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals)})).repartition(3)
+    out = {r["bin"]: r["n"] for r in
+           stats.value_histogram(ds, "value", bin_width=0.25).take_all()}
+    # floor(v/0.25): 0.1,0.2→0; 0.26→1; 0.5→2; 0.74→2; 0.75→3; -0.1→-1; -0.26→-2
+    assert out == {0: 2, 1: 1, 2: 2, 3: 1, -1: 1, -2: 1}
+
+
+def test_corr_columns_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 1000, 5000)
+    y = (x // 3 + rng.integers(0, 100, 5000)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(x, type=pa.int64()),
+                                 "y": pa.array(y)})).repartition(4)
+    out = stats.corr_columns(ds, "x", "y").to_pylist()[0]
+    assert out["n_rows"] == 5000
+    assert abs(out["corr"] - np.corrcoef(x, y)[0, 1]) < 1e-12
+
+
+def test_normalize_text(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import text as T
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["  Hello,   WORLD!! 42 ", "a--b__c"],
+    }))
+    out = {r["doc_id"]: r["norm_text"] for r in T.normalize_text(ds).take_all()}
+    assert out[1] == "hello world 42"
+    assert out[2] == "a b c"
