@@ -649,6 +649,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "l_partkey", "l_suppkey"),
         "normalize_text": lambda sf_dir: text.normalize_text(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
+        "running_total": lambda sf_dir: stats.running_total(
+            _read(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "value"])),
+        "event_paths": lambda sf_dir: stats.event_paths(
+            _read(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "event_type"])),
+        "top_orders_by_revenue": _top_orders_by_revenue,
         # --- (4) round-2 rows ---
         "roundtrip_region": roundtrip("region"),
         "roundtrip_nation": roundtrip("nation"),
@@ -828,6 +835,15 @@ def _kmeans_clusters(sf_dir: str):
     return cluster.kmeans(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
         k=8, iters=5)
+
+
+def _top_orders_by_revenue(sf_dir: str):
+    from apacheorcdotnet_ray.pipelines import analytics
+
+    return analytics.top_orders_by_revenue(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        min_total=100_000.0, k=10)
 
 
 def _repetition_filter(sf_dir: str):
@@ -1324,6 +1340,27 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": (
             "SELECT doc_id, trim(regexp_replace(lower(text),"
             " '[^a-z0-9]+', ' ', 'g'), ' ') AS norm_text FROM documents"
+        ),
+        "running_total": (
+            "SELECT event_id, user_id,"
+            " CAST(sum(CAST(floor(value * 1000) AS BIGINT))"
+            "   OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS BIGINT) AS cum_millis FROM events"
+        ),
+        "event_paths": (
+            "SELECT user_id,"
+            " string_agg(event_type, '>' ORDER BY ts, event_id) AS path,"
+            " count(*) AS n_events FROM events GROUP BY user_id"
+        ),
+        "top_orders_by_revenue": (
+            "SELECT l.l_orderkey, o.o_custkey,"
+            " CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))"
+            "   AS BIGINT) AS revenue_cents"
+            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            " WHERE o.o_totalprice > 100000.0"
+            " GROUP BY l.l_orderkey, o.o_custkey"
+            " ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"
         ),
         "repetition_filter": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text"

@@ -566,3 +566,49 @@ def corr_columns(ds: rd.Dataset, x: str, y: str) -> pa.Table:
         "n_rows": pa.array([n], type=pa.int64()),
         "corr": pa.array([corr], type=pa.float64()),
     })
+
+
+def running_total(
+    ds: rd.Dataset, user_col: str = "user_id", ts_col: str = "ts",
+    id_col: str = "event_id", value_col: str = "value",
+) -> rd.Dataset:
+    """Per-user running total in event-time order (the cumulative window
+    function SUM ... OVER (PARTITION BY user ORDER BY ts, id)). Users are
+    co-located via bounded hash partitions; each partition does one
+    vectorized sort + groupby-cumsum. Values accumulate as exact
+    floor-millis integers so the oracle compares value-exactly."""
+    import numpy as np
+
+    from .dedup import _grouped_map
+
+    def cum(df):
+        df = df.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        millis = np.floor(df[value_col].to_numpy() * 1000).astype(np.int64)
+        df = df.assign(cum_millis=millis)
+        df["cum_millis"] = df.groupby(user_col, sort=False)["cum_millis"].cumsum()
+        return df[[id_col, user_col, "cum_millis"]]
+
+    return _grouped_map(
+        ds.select_columns([id_col, user_col, ts_col, value_col]),
+        [user_col], cum)
+
+
+def event_paths(
+    ds: rd.Dataset, user_col: str = "user_id", ts_col: str = "ts",
+    id_col: str = "event_id", type_col: str = "event_type", sep: str = ">",
+) -> rd.Dataset:
+    """Per-user ordered event-type path (the string_agg ... ORDER BY window
+    shape, used for funnel/journey mining). Bounded hash partitions on the
+    user key; per-partition one sort + join-aggregation."""
+    from .dedup import _grouped_map
+
+    def agg(df):
+        df = df.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        g = df.groupby(user_col, sort=False)
+        out = g[type_col].agg(sep.join).rename("path").to_frame()
+        out["n_events"] = g.size()
+        return out.reset_index()
+
+    return _grouped_map(
+        ds.select_columns([user_col, ts_col, id_col, type_col]),
+        [user_col], agg)
