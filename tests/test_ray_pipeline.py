@@ -651,3 +651,66 @@ def test_normalize_text(ray_session):
     out = {r["doc_id"]: r["norm_text"] for r in T.normalize_text(ds).take_all()}
     assert out[1] == "hello world 42"
     assert out[2] == "a b c"
+
+
+def test_running_total_per_user(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "user_id": pa.array([7, 7, 8, 7, 8], type=pa.int64()),
+        "ts": pa.array([10, 30, 5, 20, 50], type=pa.int64()),
+        "value": pa.array([1.5, 2.0, 0.25, 1.0, 0.5]),
+    })
+    out = stats.running_total(rd.from_arrow(t).repartition(3)).to_pandas()
+    got = dict(zip(out["event_id"], out["cum_millis"]))
+    # user 7 in ts order: e1(1500), e4(+1000=2500), e2(+2000=4500)
+    assert got[1] == 1500 and got[4] == 2500 and got[2] == 4500
+    # user 8: e3(250), e5(+500=750)
+    assert got[3] == 250 and got[5] == 750
+
+
+def test_event_paths_ordering(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8], type=pa.int64()),
+        "ts": pa.array([20, 10, 10, 1], type=pa.int64()),
+        "event_type": pa.array(["c", "a", "b", "x"]),
+    })
+    out = {r["user_id"]: (r["path"], r["n_events"]) for r in
+           stats.event_paths(rd.from_arrow(t).repartition(2)).take_all()}
+    # ties on ts break by event_id: (ts10,e2)=a then (ts10,e3)=b then (ts20,e1)=c
+    assert out[7] == ("a>b>c", 3)
+    assert out[8] == ("x", 1)
+
+
+def test_top_orders_by_revenue(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import analytics
+
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_extendedprice": pa.array([10.55, 4.50, 100.0, 7.0]),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([11, 22, 33], type=pa.int64()),
+        "o_totalprice": pa.array([500.0, 900.0, 50.0]),
+    })
+    out = analytics.top_orders_by_revenue(
+        rd.from_arrow(li).repartition(2), rd.from_arrow(orders),
+        min_total=100.0, k=2).to_pandas()
+    # order 3 filtered out (totalprice 50 <= 100); order 2 tops revenue
+    assert out["l_orderkey"].tolist() == [2, 1]
+    assert out["revenue_cents"].tolist() == [10000, 1505]
+    assert out["o_custkey"].tolist() == [22, 11]
