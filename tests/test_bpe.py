@@ -45,3 +45,42 @@ def test_word_histogram_deterministic(ray_session):
     w2, c2 = bpe.word_histogram(ds2)
     assert w1.tolist() == w2.tolist() == ["a", "b", "c"]
     assert c1.tolist() == c2.tolist() == [2, 1, 1]
+
+
+def test_bpe_encode_known_ids(ray_session):
+    import ray
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["low low", "lower"]}))
+    codec = bpe.bpe_fit(ds, n_merges=4)
+    # vocab: [" ", UNK, then sorted {low, lower, e, l, o, r, w}]
+    assert codec["vocab"][:2] == [" ", "�"]
+    out = bpe.bpe_encode(ds, ray.put(codec)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    tid = codec["tok_id"]
+    assert out["token_ids"][0].tolist() == [tid["low"], 0, tid["low"]]
+    assert out["token_ids"][1].tolist() == [tid["lower"]]
+    assert out["n_tokens"].tolist() == [3, 1]
+
+
+def test_bpe_encode_unseen_word_char_fallback(ray_session):
+    import ray
+
+    train = rd.from_arrow(pa.table({"doc_id": [1], "text": ["low low"]}))
+    codec = bpe.bpe_fit(train, n_merges=2)
+    ref = ray.put(codec)
+    new = rd.from_arrow(pa.table({"doc_id": [9], "text": ["owl oxq"]}))
+    out = bpe.bpe_encode(new, ref).to_pandas()
+    tid = codec["tok_id"]
+    # "owl": chars all in alphabet; "oxq": x,q unseen → UNK id 1
+    assert out["token_ids"][0].tolist() == [
+        tid["o"], tid["w"], tid["l"], 0, tid["o"], 1, 1]
+
+
+def test_bpe_roundtrip_lossless_weird_spacing(ray_session):
+    texts = ["low lower  low", " leading", "trailing ", "", "a  b", "solo"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": texts})).repartition(3)
+    out = bpe.bpe_roundtrip(ds, n_merges=6).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == texts
