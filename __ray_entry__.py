@@ -640,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _kmeans_clusters,
         "bpe_merges": _bpe_merges,
         "bpe_token_count": _bpe_token_count,
+        "bpe_roundtrip": _bpe_roundtrip,
         "repetition_filter": _repetition_filter,
         "value_histogram": lambda sf_dir: stats.value_histogram(
             _read(sf_dir, "events", columns=["value"]), "value",
@@ -869,6 +870,15 @@ def _bpe_token_count(sf_dir: str):
     from apacheorcdotnet_ray.pipelines import bpe
 
     return bpe.bpe_token_count(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n_merges=20)
+
+
+def _bpe_roundtrip(sf_dir: str):
+    """Full tokenizer fit→encode→decode; lossless, so the oracle is the
+    identity SELECT over the source text (exact value-hash check)."""
+    from apacheorcdotnet_ray.pipelines import bpe
+
+    return bpe.bpe_roundtrip(
         _read(sf_dir, "documents", columns=["doc_id", "text"]), n_merges=20)
 
 
@@ -1180,13 +1190,15 @@ def oracle_sql() -> dict[str, str]:
         # bm25: idf="linear" + identical IEEE evaluation order on both sides
         # (sum over terms left-assoc in sorted term order); tf counts use the
         # shared non-overlapping ' term ' convention (same as lang_id)
+        # tf = exact tokenized term frequency (count of words equal to the
+        # term), matching text.bm25_search's index_in+bincount kernel
         "bm25_search": (
-            "WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt,"
+            "WITH p AS (SELECT doc_id, string_split(text, ' ') AS ws,"
             "   len(string_split(text, ' ')) AS dl FROM documents),"
             " tf AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dl,"
-            "   CAST((length(pt) - length(replace(pt, ' hash ', ''))) / 6 AS DOUBLE) AS tf0,"
-            "   CAST((length(pt) - length(replace(pt, ' join ', ''))) / 6 AS DOUBLE) AS tf1,"
-            "   CAST((length(pt) - length(replace(pt, ' merge ', ''))) / 7 AS DOUBLE) AS tf2"
+            "   CAST(len(list_filter(ws, w -> w = 'hash')) AS DOUBLE) AS tf0,"
+            "   CAST(len(list_filter(ws, w -> w = 'join')) AS DOUBLE) AS tf1,"
+            "   CAST(len(list_filter(ws, w -> w = 'merge')) AS DOUBLE) AS tf2"
             "   FROM p),"
             " g AS (SELECT count(*) AS n, sum(dl) AS sdl,"
             "   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,"
@@ -1362,6 +1374,9 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY l.l_orderkey, o.o_custkey"
             " ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"
         ),
+        # bpe_roundtrip is LOSSLESS by construction (fit→encode→decode is
+        # the identity on text), so the oracle is a plain SELECT
+        "bpe_roundtrip": "SELECT doc_id, text FROM documents",
         "repetition_filter": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text"
             "   FROM documents),"

@@ -51,7 +51,8 @@ def _grouped_map(
         ds.map_batches(add_pk, batch_format="pyarrow")
         .groupby("_pk")
         .map_groups(lambda g: fn(g.drop(columns="_pk")), batch_format="pandas")
-        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_strip_meta_drop_empty, batch_format="pyarrow",
+                     zero_copy_batch=True)
     )
 
 
@@ -75,7 +76,8 @@ def _grouped_map_arrow(
         ds.map_batches(add_pk, batch_format="pyarrow")
         .groupby("_pk")
         .map_groups(lambda g: fn(g.drop_columns(["_pk"])), batch_format="pyarrow")
-        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_strip_meta_drop_empty, batch_format="pyarrow",
+                     zero_copy_batch=True)
     )
 
 
@@ -85,6 +87,19 @@ def _strip_meta(batch: pa.Table) -> pa.Table:
     dedup and spams warnings downstream) — strip it (zero-copy). Shared by
     every pandas map_groups consumer (_grouped_map, asof_join)."""
     return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
+
+
+def _strip_meta_drop_empty(batch: pa.Table):
+    """_strip_meta plus: DROP the zero-COLUMN blocks Ray's map_groups emits
+    for empty sort-range partitions (schema "."). They poison schema-strict
+    consumers — pa.Table.join inside Dataset.join's aggregators raises
+    'No match ... FieldRef' when such a block lands alone in a partition
+    (flaky, depends on range-partition sampling). Consumers whose whole
+    result may be empty keep their schema via a setops._schema_seed union
+    block, which this stage never sees."""
+    if batch.num_columns == 0:
+        return
+    yield _strip_meta(batch)
 
 
 # ---------------------------------------------------------------------------

@@ -342,25 +342,38 @@ def bm25_search(ds: rd.Dataset, query: str, k: int = 10,
     "linear" → (N - df + 0.5)/(df + 0.5), using only IEEE arithmetic so the
     DuckDB oracle matches bit-for-bit.
 
-    tf convention: term frequency comes from NON-OVERLAPPING ' term '
-    substring matches of the padded text, so immediately consecutive
-    repeats undercount ('hash hash hash' → tf 2, not 3: the middle
-    occurrence's padding spaces are consumed by its neighbors). The SQL
-    oracle deliberately mirrors the same convention. For exact tf, tokenize
-    (split + value_counts) as tfidf_top_terms does — the substring form is
-    kept because it vectorizes as one Arrow kernel over the corpus."""
+    tf is EXACT tokenized term frequency: split on single spaces, count
+    words equal to each query term ('hash hash hash' → tf 3). Vectorized
+    as one split + ``pc.index_in`` against the tiny term list + a flat
+    bincount per batch — no per-row Python."""
     terms = sorted(set(query.split()))
+
+    def term_tf(batch: pa.Table) -> np.ndarray:
+        """(n_rows × n_terms) exact word-equality counts."""
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        wl = pc.split_pattern(texts, " ")
+        flat = wl.flatten()
+        tid = pc.index_in(flat, value_set=pa.array(terms)).to_numpy(
+            zero_copy_only=False)
+        offs = np.asarray(wl.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            np.diff(offs))
+        hit = ~np.isnan(tid) if tid.dtype.kind == "f" else tid >= 0
+        nt = len(terms)
+        return np.bincount(
+            doc_idx[hit] * nt + tid[hit].astype(np.int64),
+            minlength=batch.num_rows * nt).reshape(batch.num_rows, nt)
 
     # pass 1: N, avgdl, and per-term document frequencies — one aggregate
     def stats_partial(batch: pa.Table) -> pa.Table:
-        padded = pc.binary_join_element_wise(
-            pa.array([" "] * batch.num_rows), batch.column(text_col),
-            pa.array([" "] * batch.num_rows), "")
+        tf = term_tf(batch)
         row = {"n_docs": [batch.num_rows],
                "sum_dl": [int(np.sum(word_counts(batch, text_col).to_numpy()))]}
-        for i, t in enumerate(terms):
-            row[f"df{i}"] = [int(pc.sum(pc.greater(
-                pc.count_substring(padded, f" {t} "), 0).cast(pa.int64())).as_py() or 0)]
+        for i in range(len(terms)):
+            row[f"df{i}"] = [int((tf[:, i] > 0).sum())]
         return pa.table(row)
 
     agg = ds.map_batches(stats_partial, batch_format="pyarrow") \
@@ -375,15 +388,12 @@ def bm25_search(ds: rd.Dataset, query: str, k: int = 10,
 
     # pass 2: streaming scoring, per-batch partial top-k
     def score(batch: pa.Table) -> pa.Table:
-        padded = pc.binary_join_element_wise(
-            pa.array([" "] * batch.num_rows), batch.column(text_col),
-            pa.array([" "] * batch.num_rows), "")
+        tfm = term_tf(batch).astype(np.float64)
         dl = word_counts(batch, text_col).to_numpy().astype(np.float64)
         norm = k1 * (1.0 - b + b * dl / avgdl)
         s = np.zeros(batch.num_rows, dtype=np.float64)
-        for i, t in enumerate(terms):
-            tf = pc.count_substring(padded, f" {t} ").to_numpy(
-                zero_copy_only=False).astype(np.float64)
+        for i in range(len(terms)):
+            tf = tfm[:, i]
             s += idfs[i] * tf * (k1 + 1.0) / (tf + norm)
         t_out = pa.table({id_col: batch.column(id_col),
                           "score": pa.array(s, type=pa.float64())})

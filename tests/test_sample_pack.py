@@ -95,6 +95,23 @@ def test_bm25_log_variant(ray_session):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_bm25_exact_tf_consecutive_repeats(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.text import bm25_search
+
+    # one doc, one query term repeated consecutively: tf must be 3 (the old
+    # padded-substring counting undercounted to 2)
+    docs = rd.from_items([{"doc_id": 1, "text": "hash hash hash"}])
+    out = bm25_search(docs, "hash", k=1, idf="linear").take_all()
+    n, df, tf, dl, avgdl = 1.0, 1.0, 3.0, 3.0, 3.0
+    idf = (n - df + 0.5) / (df + 0.5)
+    expected = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert math.isclose(out[0]["score"], expected, rel_tol=1e-12)
+
+
 def test_set_ops(ray_session):
     import pyarrow as pa
     import ray.data as rd
