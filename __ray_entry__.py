@@ -182,13 +182,17 @@ def _asof_join(sf_dir: str):
 
 
 def _hash_join(sf_dir: str):
-    """Large-large repartition join (both sides co-partitioned by key)."""
+    """Large-large shuffle join (both sides co-partitioned by key);
+    broadcast_threshold=0 pins the native shuffle path — this query exists
+    to demonstrate it (broadcast_join covers the small-side path). Safe:
+    the o_orderkey domain (15k at sf0.01) vastly exceeds the partition
+    count."""
     from apacheorcdotnet_ray.pipelines.joins import hash_join
 
     return hash_join(
         _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]),
         _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
-        left_on="l_orderkey", right_on="o_orderkey",
+        left_on="l_orderkey", right_on="o_orderkey", broadcast_threshold=0,
     )
 
 
@@ -552,7 +556,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from apacheorcdotnet_ray.pipelines import dedup, similarity, stats, text
+    from apacheorcdotnet_ray.pipelines import dedup, sample, similarity, stats, text
 
     def roundtrip(table):
         return lambda sf_dir: _roundtrip(sf_dir, table)
@@ -641,6 +645,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _bpe_merges,
         "bpe_token_count": _bpe_token_count,
         "bpe_roundtrip": _bpe_roundtrip,
+        "oov_rate": lambda sf_dir: text.oov_rate(
+            _read(sf_dir, "documents", columns=["source", "text"]), k=12),
+        "token_budget_sample": lambda sf_dir: sample.token_budget_sample(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            budget=10000).select_columns(["doc_id"]),
         "repetition_filter": _repetition_filter,
         "value_histogram": lambda sf_dir: stats.value_histogram(
             _read(sf_dir, "events", columns=["value"]), "value",
@@ -1377,6 +1386,32 @@ def oracle_sql() -> dict[str, str]:
         # bpe_roundtrip is LOSSLESS by construction (fit→encode→decode is
         # the identity on text), so the oracle is a plain SELECT
         "bpe_roundtrip": "SELECT doc_id, text FROM documents",
+        # top-12 vocab by (count DESC, word) — same tie-break as the engine
+        "oov_rate": (
+            "WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w"
+            "   FROM documents),"
+            " v AS (SELECT w FROM (SELECT w, count(*) AS c FROM t"
+            "   GROUP BY w ORDER BY c DESC, w LIMIT 12)),"
+            " j AS (SELECT source,"
+            "   CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE 1 END AS oov"
+            "   FROM t)"
+            " SELECT source, count(*) AS n_tokens,"
+            " CAST(sum(oov) AS BIGINT) AS n_oov,"
+            " CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate"
+            " FROM j GROUP BY source"
+        ),
+        # prefix of the (row-hash, id) order while cumulative word count
+        # stays <= budget; word counts are strictly positive so the WHERE
+        # over the running total is exactly that prefix
+        "token_budget_sample": (
+            "WITH h AS (SELECT doc_id,"
+            "   (doc_id % 2147483647) * 2654435761 % 1000000 AS hv,"
+            "   len(string_split(text, ' ')) AS nt FROM documents),"
+            " c AS (SELECT doc_id, sum(nt) OVER (ORDER BY hv, doc_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+            "   FROM h)"
+            " SELECT doc_id FROM c WHERE cum <= 10000"
+        ),
         "repetition_filter": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text"
             "   FROM documents),"

@@ -179,29 +179,54 @@ def hash_join(
     right_on: str,
     how: str = "inner",
     num_partitions: int = 64,
+    broadcast_threshold: int = 200_000,
 ) -> rd.Dataset:
-    """Large-large equi-join via Ray Data's native hash-shuffle join
-    (``Dataset.join``): each side shuffles with its OWN schema to
-    co-partitioned joining aggregators — measured 62% leaner on the wire
-    than the union-with-null-padding repartition join below (null Arrow
-    columns still serialize their full data buffers through IPC, plus a
-    per-row side tag). Output columns: left's, then right's minus its key
-    (same contract as ``repartition_join``). ``how``: inner | left."""
+    """Adaptive equi-join. The right side (by convention the smaller) is
+    materialized and counted once — vocabulary/dimension-sized sides
+    (≤ ``broadcast_threshold`` rows) broadcast via ``ray.put`` and join
+    per-batch with zero shuffle; larger sides go through Ray Data's native
+    hash-shuffle join (``Dataset.join``): each side shuffles with its OWN
+    schema to co-partitioned joining aggregators — measured 62% leaner on
+    the wire than the union-with-null-padding repartition join below (null
+    Arrow columns still serialize their full data buffers through IPC,
+    plus a per-row side tag).
+
+    The size cutoff is also a CORRECTNESS guard for Ray 2.49's native
+    join: an aggregator partition that receives zero shards of one side
+    builds a column-less table and ``pa.Table.join`` raises
+    'No match ... FieldRef' (ray/data/_internal/execution/operators/
+    join.py:118). Key domains ≫ partitions make that probability ~0; small
+    domains (where it bites) take the broadcast path instead. Callers
+    demonstrating the shuffle join on mid-sized sides can pass
+    ``broadcast_threshold=0`` — their key domain must exceed the partition
+    count. Output columns: left's, then right's minus its key (same
+    contract as ``repartition_join``). ``how``: inner | left."""
     join_type = {"inner": "inner", "left": "left_outer"}[how]
     if not hasattr(rd.Dataset, "join"):  # older Ray: shuffle-union fallback
         return repartition_join(left, right, left_on, right_on, how,
                                 num_partitions)
+    import ray
+
+    l_cols = list(left.schema().names)
+    r_cols = [c for c in right.schema().names if c != right_on]
+    if broadcast_threshold > 0:
+        right = right.materialize()  # blocks pinned once; count is then free
+        if right.count() <= broadcast_threshold:
+            from .setops import to_arrow_table
+
+            small = to_arrow_table(right)
+            bc_type = {"inner": "inner", "left": "left outer"}[how]
+            return broadcast_hash_join(
+                left, small, left_on, right_on, join_type=bc_type
+            ).map_batches(lambda b: b.select(l_cols + r_cols),
+                          batch_format="pyarrow")
     # The joining aggregators are actors that all must schedule before any
     # progress: more partitions than CPUs deadlocks (observed hang at 64
     # partitions / 4 CPUs). Clamp to the cluster CPU count.
-    import ray
-
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     num_partitions = max(1, min(num_partitions, cpus))
     out = left.join(right, join_type, num_partitions=num_partitions,
                     on=(left_on,), right_on=(right_on,))
-    l_cols = list(left.schema().names)
-    r_cols = [c for c in right.schema().names if c != right_on]
     return out.select_columns(l_cols + r_cols)
 
 

@@ -102,3 +102,77 @@ def stratified_sample(
         return out.drop(columns="_h")
 
     return _grouped_map(ds, [key_col], pick, num_partitions)
+
+
+def token_budget_sample(
+    ds: rd.Dataset, budget: int,
+    id_col: str = "doc_id", text_col: str = "text",
+    n_buckets: int = 4096,
+) -> rd.Dataset:
+    """Deterministic token-budget subsample: walk docs in (row-hash, id)
+    order and keep them while the cumulative word count stays within
+    ``budget`` — "give me the same ~10B tokens every run" without sorting
+    the corpus.
+
+    The global prefix-sum cutoff is found with two metadata passes (same
+    narrowing idea as stats.quantile_exact): (1) one streaming pass reduces
+    each batch to a fixed n_buckets-long int64 vector of per-hash-bucket
+    token sums; the driver prefix-sums ~4k ints to find the bucket the
+    budget lands in. (2) only THAT bucket's (id, hash, n_tok) triples —
+    ~1/n_buckets of doc metadata — are collected and ordered to resolve the
+    exact boundary doc. The final pass is a stateless vectorized filter
+    (bucket < cutoff, or membership in the broadcast boundary-bucket id
+    set). Nothing corpus-sized touches the driver; no shuffle anywhere."""
+    import pyarrow.compute as pc
+    import ray
+
+    def _nt(batch: pa.Table) -> np.ndarray:
+        return pc.add(pc.count_substring(batch.column(text_col), " "), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _hb(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        h = _row_hash(batch.column(id_col).to_numpy(zero_copy_only=False))
+        return h, h * n_buckets // _BUCKETS
+
+    def bucket_sums(batch: pa.Table) -> pa.Table:
+        _, b = _hb(batch)
+        s = np.bincount(b, weights=_nt(batch), minlength=n_buckets)
+        return pa.table({"sums": pa.array([s.astype(np.int64).tobytes()],
+                                          type=pa.binary())})
+
+    parts = ds.map_batches(bucket_sums, batch_format="pyarrow").take_all()
+    totals = np.zeros(n_buckets, dtype=np.int64)
+    for r in parts:
+        totals += np.frombuffer(r["sums"], dtype=np.int64)
+    cum = np.cumsum(totals)
+    if cum[-1] <= budget:
+        return ds                       # whole corpus fits the budget
+    cb = int(np.searchsorted(cum, budget, side="right"))
+    rem = int(budget - (cum[cb - 1] if cb > 0 else 0))
+
+    def boundary_bucket(batch: pa.Table) -> pa.Table:
+        h, b = _hb(batch)
+        m = b == cb
+        return pa.table({
+            "id": pa.array(batch.column(id_col).to_numpy(
+                zero_copy_only=False)[m]),
+            "h": pa.array(h[m]),
+            "nt": pa.array(_nt(batch)[m]),
+        })
+
+    bb = ds.map_batches(boundary_bucket, batch_format="pyarrow").take_all()
+    ids = np.array([r["id"] for r in bb], dtype=np.int64)
+    hs = np.array([r["h"] for r in bb], dtype=np.int64)
+    nts = np.array([r["nt"] for r in bb], dtype=np.int64)
+    order = np.lexsort((ids, hs))
+    keep_in_cb = ids[order][np.cumsum(nts[order]) <= rem]
+    keep_ref = ray.put(pa.array(keep_in_cb, type=pa.int64()))
+
+    def final(batch: pa.Table) -> pa.Table:
+        _, b = _hb(batch)
+        in_cb = pc.is_in(
+            pc.cast(batch.column(id_col), pa.int64()),
+            value_set=ray.get(keep_ref)).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((b < cb) | ((b == cb) & in_cb)))
+
+    return ds.map_batches(final, batch_format="pyarrow")

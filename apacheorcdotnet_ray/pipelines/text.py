@@ -246,6 +246,85 @@ def ngram_counts(ds: rd.Dataset, n: int = 2, k: int = 10,
     return summed.sort(["cnt", "ng"], descending=[True, False]).limit(k)
 
 
+def oov_rate(ds: rd.Dataset, k: int = 200, text_col: str = "text",
+             key_col: str = "source", num_partitions: int = 64) -> rd.Dataset:
+    """Out-of-vocabulary rate per source against the corpus' top-k word
+    vocabulary — the coverage check run before committing to a tokenizer
+    vocab size.
+
+    Two passes, nothing corpus-sized ever collected: (1) distributed word
+    counts (per-batch value_counts partials → bounded hash partitions) with
+    only the k-row head pulled to the driver; (2) the tiny vocabulary is
+    broadcast once via ``ray.put`` and one streaming pass computes per-batch
+    (source, n_tokens, n_oov) partials via ``pc.is_in`` + bincount over
+    dictionary codes, reduced by a 20-key groupby. Top-k ties break on the
+    word string, matching the SQL oracle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _grouped_map
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        vc = pc.split_pattern(texts, " ").flatten().value_counts()
+        return pa.table({"w": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    def wc_reduce(df):
+        return df.groupby("w", sort=False, as_index=False)["cnt"].sum()
+
+    counts = _grouped_map(ds.map_batches(wc_partial, batch_format="pyarrow"),
+                          ["w"], wc_reduce, num_partitions)
+    top = counts.sort(["cnt", "w"], descending=[True, False]).limit(k).take_all()
+    vocab_ref = ray.put(pa.array([r["w"] for r in top], type=pa.string()))
+
+    def part(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(texts, " ")
+        flat = words.flatten()
+        oov = pc.invert(pc.is_in(flat, value_set=vocab)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        per_doc_tok = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        denc = keys.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = len(denc.dictionary)
+        per_doc_oov = np.add.reduceat(oov, offs[:-1]) if len(flat) else \
+            np.zeros(len(per_doc_tok), dtype=np.int64)
+        per_doc_oov[per_doc_tok == 0] = 0
+        return pa.table({
+            key_col: denc.dictionary,
+            "n_tokens": pa.array(np.bincount(codes, weights=per_doc_tok,
+                                             minlength=nk).astype(np.int64)),
+            "n_oov": pa.array(np.bincount(codes, weights=per_doc_oov,
+                                          minlength=nk).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Sum("n_tokens"), Sum("n_oov"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        nt = batch.column("sum(n_tokens)").to_numpy(zero_copy_only=False)
+        no = batch.column("sum(n_oov)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_tokens": pa.array(nt.astype(np.int64)),
+            "n_oov": pa.array(no.astype(np.int64)),
+            "oov_rate": pa.array(no.astype(np.float64) / nt.astype(np.float64)),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 def tfidf_top_terms(ds: rd.Dataset, k: int = 3,
                     id_col: str = "doc_id", text_col: str = "text",
                     num_partitions: int = 64, idf: str = "log") -> rd.Dataset:
@@ -253,8 +332,10 @@ def tfidf_top_terms(ds: rd.Dataset, k: int = 3,
     distributed: per-batch Arrow group_by builds the (doc, term, tf)
     postings (docs never span batches), document frequency aggregates
     through bounded hash partitions, and the vocabulary-sized df table
-    joins back via the repartition hash_join — nothing vocabulary-sized is
-    ever broadcast or collected.
+    joins back via hash_join's adaptive path — broadcast while the vocab
+    stays under ~200k rows (a few MB via ray.put, and the regime where
+    Ray's native join crashes on empty partitions), native hash-shuffle
+    beyond. Nothing CORPUS-sized is ever broadcast or collected.
 
     ``idf``: "log" → score = tf * ln(N/df) (textbook); "linear" → score =
     tf * N / df. The linear kernel uses only IEEE +,*,/ so its doubles are

@@ -164,7 +164,8 @@ def run_bench() -> dict:
                            columns=["l_orderkey", "l_linenumber", "l_quantity"]),
         read_parquet_clean(os.path.join(SF_DIR, "orders.parquet"),
                            columns=["o_orderkey", "o_custkey", "o_totalprice"]),
-        left_on="l_orderkey", right_on="o_orderkey").count())
+        left_on="l_orderkey", right_on="o_orderkey",
+        broadcast_threshold=0).count())
 
     from apacheorcdotnet_ray.pipelines.text import tokenize_documents
 

@@ -89,3 +89,84 @@ def test_hash_join_left_and_inner(ray_session):
     })), right, "k", "rk", how="left").to_pandas().sort_values("k").reset_index(drop=True)
     assert len(lj) == 2
     assert np.isnan(lj["rv"][0]) and lj["rv"][1] == 200.0
+
+
+def test_hash_join_small_key_domain_broadcast_path(ray_session):
+    # 3 distinct keys over many partitions used to crash Ray's native join
+    # (empty aggregator partitions -> pa.Table.join FieldRef error); the
+    # adaptive broadcast path must handle it
+    from apacheorcdotnet_ray.pipelines.joins import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 1, 2, 9], type=pa.int64()),
+        "x": pa.array([10, 20, 30, 40, 50, 60], type=pa.int64()),
+    })).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 3], type=pa.int64()),
+        "name": pa.array(["a", "b", "c"]),
+    })).repartition(4)
+    out = hash_join(left, right, "k", "rk").to_pandas()
+    assert list(out.columns) == ["k", "x", "name"]
+    assert len(out) == 5
+    assert dict(zip(out["x"], out["name"])) == {
+        10: "a", 40: "a", 20: "b", 50: "b", 30: "c"}
+    # left join keeps the unmatched row with a null
+    lj = hash_join(left, right, "k", "rk", how="left").to_pandas()
+    assert len(lj) == 6
+    assert lj.loc[lj["x"] == 60, "name"].isna().all()
+
+
+def test_hash_join_native_path_matches_broadcast(ray_session):
+    from apacheorcdotnet_ray.pipelines.joins import hash_join
+
+    n = 500
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(n) % 97, type=pa.int64()),
+        "x": pa.array(np.arange(n), type=pa.int64()),
+    })).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(np.arange(97), type=pa.int64()),
+        "v": pa.array(np.arange(97) * 2, type=pa.int64()),
+    })).repartition(4)
+    a = hash_join(left, right, "k", "rk").to_pandas() \
+        .sort_values(["x"]).reset_index(drop=True)
+    b = hash_join(left, right, "k", "rk", broadcast_threshold=0).to_pandas() \
+        .sort_values(["x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_budget_sample(ray_session):
+    from apacheorcdotnet_ray.pipelines.sample import _row_hash, token_budget_sample
+
+    n = 200
+    texts = [" ".join(["w"] * (i % 7 + 1)) for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": texts})).repartition(5)
+    budget = 300
+    out = sorted(token_budget_sample(ds, budget, n_buckets=64)
+                 .to_pandas()["doc_id"].tolist())
+    # brute-force reference: cumulative word count over (hash, id) order
+    h = _row_hash(np.arange(n))
+    nt = np.array([i % 7 + 1 for i in range(n)])
+    order = np.lexsort((np.arange(n), h))
+    keep = np.arange(n)[order][np.cumsum(nt[order]) <= budget]
+    assert out == sorted(keep.tolist())
+    # budget >= total keeps everything; budget 0 keeps nothing
+    assert token_budget_sample(ds, 10**9, n_buckets=64).count() == n
+    assert token_budget_sample(ds, 0, n_buckets=64).count() == 0
+
+
+def test_oov_rate(ray_session):
+    from apacheorcdotnet_ray.pipelines.text import oov_rate
+
+    ds = rd.from_arrow(pa.table({
+        "source": ["s1", "s1", "s2"],
+        "text": ["a a b rare1", "a b b", "a rare2 rare2 rare3"],
+    })).repartition(2)
+    out = oov_rate(ds, k=2, num_partitions=8).to_pandas() \
+        .set_index("source").sort_index()
+    # vocab = top-2 by (count desc, word): a(5), b(3)
+    assert out.loc["s1", "n_tokens"] == 7 and out.loc["s1", "n_oov"] == 1
+    assert out.loc["s2", "n_tokens"] == 4 and out.loc["s2", "n_oov"] == 3
+    assert out.loc["s2", "oov_rate"] == 0.75
