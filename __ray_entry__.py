@@ -645,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _bpe_merges,
         "bpe_token_count": _bpe_token_count,
         "bpe_roundtrip": _bpe_roundtrip,
+        "row_range_scan": _row_range_scan,
         "oov_rate": lambda sf_dir: text.oov_rate(
             _read(sf_dir, "documents", columns=["source", "text"]), k=12),
         "token_budget_sample": lambda sf_dir: sample.token_budget_sample(
@@ -880,6 +881,22 @@ def _bpe_token_count(sf_dir: str):
 
     return bpe.bpe_token_count(
         _read(sf_dir, "documents", columns=["doc_id", "text"]), n_merges=20)
+
+
+def _row_range_scan(sf_dir: str):
+    """Trainer fast-forward: rows [3000, 4000) of the encoded lineitem
+    corpus in encode order (== parquet row order) — non-overlapping stripes
+    never open; inside a strided stripe only the overlapping strides
+    decompress."""
+    from apacheorcdotnet_ray.pipelines.encode import encode_corpus
+    from apacheorcdotnet_ray.sources.stripes import read_row_range
+
+    out = _out_dir(sf_dir, "rt-lineitem")
+    encode_corpus([_table_path(sf_dir, "lineitem")], out)  # resume-aware
+    return read_row_range(
+        out, 3000, 1000,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity"])
 
 
 def _bpe_roundtrip(sf_dir: str):
@@ -1386,6 +1403,14 @@ def oracle_sql() -> dict[str, str]:
         # bpe_roundtrip is LOSSLESS by construction (fit→encode→decode is
         # the identity on text), so the oracle is a plain SELECT
         "bpe_roundtrip": "SELECT doc_id, text FROM documents",
+        # encode order == parquet row order (DuckDB preserves insertion
+        # order for a plain scan, so the bare row_number() matches it)
+        "row_range_scan": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+            " l_quantity FROM"
+            " (SELECT *, row_number() OVER () AS rn FROM lineitem)"
+            " WHERE rn BETWEEN 3001 AND 4000"
+        ),
         # top-12 vocab by (count DESC, word) — same tie-break as the engine
         "oov_rate": (
             "WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w"

@@ -262,3 +262,69 @@ def read_stripes(
 
         ds = ds.map_batches(exact_filter, batch_format="pyarrow")
     return ds
+
+
+def _natural_key(path: str) -> tuple:
+    """Numeric-aware filename sort: 'rg10' orders after 'rg2' (plain
+    lexicographic glob order would interleave rowgroup spans at >=10
+    rowgroups, breaking the corpus row-order contract)."""
+    import re
+
+    name = os.path.basename(path)
+    return tuple(int(p) if p.isdigit() else p
+                 for p in re.split(r"(\d+)", name))
+
+
+def read_row_range(
+    stripe_dir: str,
+    offset: int,
+    limit: int,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Rows [offset, offset + limit) of the corpus in encode order — the
+    trainer fast-forward path (resume an interrupted epoch without
+    re-streaming the prefix). Corpus row order = stripe files in
+    numeric-aware name order (encoders name stripes
+    <source>_rg<span>-s<idx>-<hash>.oray, so this is input order).
+
+    Cost is proportional to the RANGE, not the corpus: per-stripe row
+    counts come from tail-only footer reads (fanned out as tasks on big
+    corpora), non-overlapping stripes are never opened, and inside a
+    strided stripe only the overlapping strides decompress
+    (decode_stripe's row_range seek, the ORC ROW_INDEX skip analog)."""
+    import pyarrow as pa
+
+    from ..stripe.container import decode_stripe, footer_schema
+
+    paths = sorted(stripe_paths(stripe_dir), key=_natural_key)
+    if not paths:
+        raise FileNotFoundError(f"no .oray stripes under {stripe_dir}")
+    counts = map_footers(paths, lambda p: read_stripe_footer(p)["rows"])
+    start, want = max(0, int(offset)), max(0, int(limit))
+    ranges: dict[str, tuple[int, int]] = {}
+    acc = 0
+    for p, n in zip(paths, counts):
+        lo = max(start, acc)
+        hi = min(start + want, acc + n)
+        if lo < hi:
+            ranges[os.path.basename(p)] = (lo - acc, hi - acc)
+        acc += n
+    if not ranges:
+        sch = footer_schema(read_stripe_footer(paths[0]))
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns if c in sch.names])
+        return rd.from_arrow(sch.empty_table())
+
+    sel_paths = [p for p in paths if os.path.basename(p) in ranges]
+
+    def dec(batch: pa.Table) -> pa.Table:
+        out = []
+        for path, blob in zip(batch.column("path").to_pylist(),
+                              batch.column("bytes").to_pylist()):
+            out.append(decode_stripe(
+                blob, columns=columns,
+                row_range=ranges[os.path.basename(path)]))
+        return pa.concat_tables(out)
+
+    return rd.read_binary_files(sel_paths, include_paths=True).map_batches(
+        dec, batch_format="pyarrow", batch_size=None)

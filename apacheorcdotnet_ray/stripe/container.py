@@ -18,6 +18,7 @@ Layout::
 from __future__ import annotations
 
 import base64
+import bisect
 import json
 import struct
 import zlib
@@ -260,6 +261,7 @@ def decode_stripe(
     columns: list[str] | None = None,
     predicate: tuple | None = None,
     io_stats: dict | None = None,
+    row_range: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Decode container bytes back to an Arrow table (optionally projected).
 
@@ -269,8 +271,12 @@ def decode_stripe(
     ``predicate`` (col, op, lit) additionally skips whole strides whose
     footer row-index range excludes it — the ROW_INDEX seek analog
     (ColumnWriterStatistics.cs:12-33); the result still needs the exact
-    row filter applied by the caller. ``io_stats``, when passed, is filled
-    with {bytes_read, bytes_decompressed, strides_total, strides_read}.
+    row filter applied by the caller. ``row_range`` = stripe-local
+    ``(start, stop)`` row positions: on strided stripes only the
+    overlapping strides decompress (the ORC seek-to-row analog), then the
+    exact slice is taken — the trainer fast-forward path. ``io_stats``,
+    when passed, is filled with {bytes_read, bytes_decompressed,
+    strides_total, strides_read}.
     """
     footer = read_footer(buf)
     if footer.get("version", 1) not in READABLE_VERSIONS:  # v3: ts fallback
@@ -281,6 +287,27 @@ def decode_stripe(
     n_rows = footer["rows"]
     codec = footer.get("compression")
     framed = codec in ("zlib", "zstd")
+
+    range_slice = None  # (local offset into the decoded strides, length)
+    range_sel = None    # stride indexes the range overlaps
+    if row_range is not None:
+        if predicate is not None:
+            raise ValueError("row_range and predicate are mutually exclusive")
+        r0, r1 = max(0, int(row_range[0])), min(int(row_range[1]), n_rows)
+        if r0 >= r1:
+            proj_f = [f for f in schema if columns is None or f.name in columns]
+            return pa.schema(proj_f).empty_table()
+        srs = footer.get("stride_rows")
+        if srs:
+            bounds = [0]
+            for sr in srs:
+                bounds.append(bounds[-1] + sr)
+            i0 = bisect.bisect_right(bounds, r0) - 1
+            i1 = bisect.bisect_left(bounds, r1)
+            range_sel = list(range(i0, i1))
+            range_slice = (r0 - bounds[i0], r1 - r0)
+        else:
+            range_slice = (r0, r1 - r0)
 
     if io_stats is not None:
         io_stats.setdefault("bytes_read", 0)
@@ -306,7 +333,9 @@ def decode_stripe(
 
     stride_rows = footer.get("stride_rows")
     if stride_rows is not None and footer.get("version", 1) >= 5:
-        sel = (qualifying_strides(footer, predicate) if predicate is not None
+        sel = (range_sel if range_sel is not None
+               else qualifying_strides(footer, predicate)
+               if predicate is not None
                else list(range(len(stride_rows))))
         if io_stats is not None:
             io_stats["strides_total"] = len(stride_rows)
@@ -361,7 +390,9 @@ def decode_stripe(
                 if chunks else pa.chunked_array([], type=field_.type)
     elif stride_rows is not None:
         # v3/v4 strided layout: independently framed per-stride segments
-        sel = (qualifying_strides(footer, predicate) if predicate is not None
+        sel = (range_sel if range_sel is not None
+               else qualifying_strides(footer, predicate)
+               if predicate is not None
                else list(range(len(stride_rows))))
         if io_stats is not None:
             io_stats["strides_total"] = len(stride_rows)
@@ -419,4 +450,6 @@ def decode_stripe(
     tbl = pa.table(cols, schema=out_schema)
     if mask is not None:
         tbl = tbl.filter(mask)  # non-matching rows never leave the task
+    if range_slice is not None:
+        tbl = tbl.slice(*range_slice)  # zero-copy exact-row trim
     return tbl

@@ -123,3 +123,51 @@ def test_heterogeneous_codec_across_strides():
     kinds = {m["kind"] for m in footer["streams"]}
     assert any("pos_codec" in m or "pos_params" in m
                for m in footer["streams"]), kinds
+
+
+def test_row_range_decode_exact_and_stride_proportional():
+    t = _tokens_table(n_docs=3000)
+    strided, _ = encode_stripe(t, EncodeConfig(row_index_stride=400))
+    # exact slices at stride boundaries, mid-stride, and spanning strides
+    for lo, hi in [(0, 400), (350, 450), (799, 1601), (2900, 3000),
+                   (0, 3000), (2999, 3000)]:
+        got = decode_stripe(strided, row_range=(lo, hi)).combine_chunks()
+        assert got.equals(t.slice(lo, hi - lo)), (lo, hi)
+    # clamping and empty ranges
+    assert decode_stripe(strided, row_range=(2950, 99999)).num_rows == 50
+    assert decode_stripe(strided, row_range=(5000, 6000)).num_rows == 0
+    assert decode_stripe(strided, row_range=(100, 100)).num_rows == 0
+    # seek cost: a 400-row range out of 3000 touches <= 2 of 8 strides
+    st = {}
+    decode_stripe(strided, row_range=(1200, 1600), io_stats=st)
+    assert st["strides_total"] == 8 and st["strides_read"] <= 2
+    # unstrided stripes slice after full decode (still exact)
+    plain, _ = encode_stripe(t, EncodeConfig())
+    got = decode_stripe(plain, row_range=(123, 456)).combine_chunks()
+    assert got.equals(t.slice(123, 333))
+
+
+def test_read_row_range_multi_stripe(ray_session, tmp_path):
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.sources.stripes import read_row_range
+    from apacheorcdotnet_ray.stripe.container import encode_stripe as enc
+
+    t = _tokens_table(n_docs=900, seed=7)
+    # three stripes, filenames exercising the numeric-aware order
+    # (lexicographic glob would put rg10 before rg2)
+    parts = [(0, 300, "x.parquet_rg2-3-s0000-fa.oray"),
+             (300, 300, "x.parquet_rg10-11-s0000-fb.oray"),
+             (600, 300, "x.parquet_rg10-11-s0001-fc.oray")]
+    for off, n, name in parts:
+        buf, _ = enc(t.slice(off, n), EncodeConfig(row_index_stride=128))
+        (tmp_path / name).write_bytes(buf)
+    for lo, hi in [(0, 10), (250, 350), (299, 601), (880, 900), (0, 900)]:
+        got = read_row_range(str(tmp_path), lo, hi - lo) \
+            .to_pandas().reset_index(drop=True)
+        exp = t.slice(lo, hi - lo).to_pandas().reset_index(drop=True)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), (lo, hi)
+    # projection + beyond-the-end ranges
+    got = read_row_range(str(tmp_path), 890, 100, columns=["doc_id"])
+    assert got.schema().names == ["doc_id"] and got.count() == 10
+    assert read_row_range(str(tmp_path), 900, 10).count() == 0
