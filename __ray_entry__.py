@@ -646,6 +646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _bpe_token_count,
         "bpe_roundtrip": _bpe_roundtrip,
         "row_range_scan": _row_range_scan,
+        "dup_ngram_spans": lambda sf_dir: dedup.dup_ngram_spans(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), n=4),
         "oov_rate": lambda sf_dir: text.oov_rate(
             _read(sf_dir, "documents", columns=["source", "text"]), k=12),
         "token_budget_sample": lambda sf_dir: sample.token_budget_sample(
@@ -1410,6 +1412,24 @@ def oracle_sql() -> dict[str, str]:
             " l_quantity FROM"
             " (SELECT *, row_number() OVER () AS rn FROM lineitem)"
             " WHERE rn BETWEEN 3001 AND 4000"
+        ),
+        # first occurrence = smallest (doc_id, pos) of each 4-gram; every
+        # later occurrence counts as a duplicated span position
+        "dup_ngram_spans": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws"
+            "   FROM documents),"
+            " g AS (SELECT doc_id, i AS pos,"
+            "   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
+            "     AS ng"
+            "   FROM w, unnest(range(1, len(ws) - 2)) AS t(i)"
+            "   WHERE len(ws) >= 4),"
+            " r AS (SELECT doc_id, CASE WHEN row_number()"
+            "   OVER (PARTITION BY ng ORDER BY doc_id, pos) > 1"
+            "   THEN 1 ELSE 0 END AS dup FROM g),"
+            " d AS (SELECT doc_id, count(*) AS n_pos,"
+            "   CAST(sum(dup) AS BIGINT) AS n_dup FROM r GROUP BY doc_id)"
+            " SELECT doc_id, n_pos, n_dup,"
+            " CAST(n_dup AS DOUBLE) / n_pos AS dup_frac FROM d"
         ),
         # top-12 vocab by (count DESC, word) — same tie-break as the engine
         "oov_rate": (

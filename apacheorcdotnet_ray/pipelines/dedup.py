@@ -832,3 +832,108 @@ def dedup_embedding_cosine(emb_ds: rd.Dataset, threshold: float = 0.95) -> rd.Da
         })
 
     return emb_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dup_ngram_spans(
+    ds: rd.Dataset, n: int = 4,
+    id_col: str = "doc_id", text_col: str = "text",
+    hashed: bool = False, num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-doc count of word n-gram positions whose n-gram already occurred
+    EARLIER in the corpus (earlier = smaller (doc_id, pos)) — the
+    span-level duplication profile behind suffix-array corpus dedup
+    ("remove every repeated span after its first occurrence"), reduced to
+    a distributable postings shape. Output: (doc_id, n_pos, n_dup,
+    dup_frac) for every doc with at least n words.
+
+    One postings pass builds (ngram, doc_id, pos) per batch (vectorized
+    shifted-slice join, cross-doc windows masked); ONE bounded hash
+    shuffle keyed on the ngram co-locates each ngram's occurrences; inside
+    a partition a single sort + duplicated-mask marks every non-first
+    occurrence, pre-aggregated to per-doc counts before the tiny final
+    groupby. Per-doc totals ride the adaptive hash_join (broadcast while
+    doc metadata is small, shuffle at scale).
+
+    ``hashed=True`` ships 64-bit ngram hashes through the shuffle instead
+    of the strings (~constant width, collision odds ~N²/2⁶⁴) — the 100 TB
+    path; the default keeps exact strings so the SQL oracle can reproduce
+    results value-for-value."""
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+
+    def postings(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(texts, " ")
+        flat = words.flatten()
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        m = len(flat) - n + 1
+        empty = pa.table({
+            "ng": pa.array([], type=pa.int64() if hashed else pa.string()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "pos": pa.array([], type=pa.int64()),
+        })
+        if m <= 0:
+            return empty
+        shifted = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(*shifted, " ")
+        starts = offs[:-1]
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            np.diff(offs))[:m]
+        pos = np.arange(m, dtype=np.int64) - starts[doc_idx]
+        # a window starting within n-1 words of a doc's end spans two docs
+        valid = pos <= (np.diff(offs) - n)[doc_idx]
+        if not valid.any():
+            return empty
+        grams = grams.filter(pa.array(valid))
+        if hashed:
+            import polars as pl
+
+            grams = pa.array(pl.from_arrow(pa.table({"g": grams}))["g"]
+                             .hash(seed=0).to_numpy().view(np.int64))
+        ids = batch.column(id_col).take(pa.array(doc_idx[valid]))
+        return pa.table({"ng": grams, id_col: ids,
+                         "pos": pa.array(pos[valid])})
+
+    def mark_dups(df):
+        df = df.sort_values(["ng", id_col, "pos"], kind="mergesort")
+        dup = df["ng"].duplicated().to_numpy()
+        out = df.assign(_d=dup.astype(np.int64)) \
+            .groupby(id_col, sort=False, as_index=False)["_d"].sum()
+        return out.rename(columns={"_d": "n_dup"})
+
+    per_part = _grouped_map(ds.map_batches(postings, batch_format="pyarrow"),
+                            ["ng"], mark_dups, num_partitions)
+
+    def dup_reduce(df):
+        return df.groupby(id_col, sort=False, as_index=False)["n_dup"].sum()
+
+    dups = _grouped_map(per_part, [id_col], dup_reduce, num_partitions)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        wc = pc.add(pc.count_substring(batch.column(text_col), " "), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({id_col: batch.column(id_col),
+                      "n_pos": pa.array(wc - n + 1)})
+        return t.filter(pa.array(wc >= n))
+
+    joined = hash_join(ds.map_batches(totals, batch_format="pyarrow"),
+                       dups, id_col, id_col, how="left",
+                       num_partitions=num_partitions)
+
+    def final(batch: pa.Table) -> pa.Table:
+        nd = pc.coalesce(batch.column("n_dup"), pa.scalar(0, pa.int64()))
+        np_ = batch.column("n_pos").to_numpy(zero_copy_only=False)
+        ndv = nd.to_numpy(zero_copy_only=False) if isinstance(nd, pa.ChunkedArray) \
+            else np.asarray(nd)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_pos": batch.column("n_pos"),
+            "n_dup": nd,
+            "dup_frac": pa.array(ndv.astype(np.float64) / np_.astype(np.float64)),
+        })
+
+    return joined.map_batches(final, batch_format="pyarrow")

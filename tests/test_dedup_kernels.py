@@ -79,3 +79,33 @@ def test_group_sizes():
     # tiebreak orders within groups ascending
     assert np.array_equal(np.array([9, 8, 7, 6, 5])[order],
                           np.array([5, 6, 8, 7, 9]))
+
+
+def test_dup_ngram_spans(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.dedup import dup_ngram_spans
+
+    docs = [
+        (1, "a b c d e f"),        # first occurrences of everything
+        (2, "a b c d x y"),        # "a b c d" dup (1 of 3 positions)
+        (3, "a b c d e f"),        # full dup of doc 1 (all 3 positions)
+        (4, "q r s"),              # too short for n=4 -> absent
+        (5, "z z z z z z z"),      # self-repeats: pos0 first, pos1..3 dup
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": [t for _, t in docs]})).repartition(3)
+    out = dup_ngram_spans(ds, n=4, num_partitions=8).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert 4 not in out.index
+    assert out.loc[1, "n_pos"] == 3 and out.loc[1, "n_dup"] == 0
+    assert out.loc[2, "n_pos"] == 3 and out.loc[2, "n_dup"] == 1
+    assert out.loc[3, "n_pos"] == 3 and out.loc[3, "n_dup"] == 3
+    assert out.loc[5, "n_pos"] == 4 and out.loc[5, "n_dup"] == 3
+    assert out.loc[3, "dup_frac"] == 1.0
+    # hashed variant agrees on this corpus
+    h = dup_ngram_spans(ds, n=4, hashed=True, num_partitions=8).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert (h["n_dup"] == out["n_dup"]).all()
