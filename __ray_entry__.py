@@ -653,6 +653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": lambda sf_dir: sample.token_budget_sample(
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
             budget=10000).select_columns(["doc_id"]),
+        "epoch_shuffle_rank": lambda sf_dir: sample.epoch_shuffle_rank(
+            _read(sf_dir, "documents", columns=["doc_id"]), epoch=3),
         "repetition_filter": _repetition_filter,
         "value_histogram": lambda sf_dir: stats.value_histogram(
             _read(sf_dir, "events", columns=["value"]), "value",
@@ -1412,6 +1414,15 @@ def oracle_sql() -> dict[str, str]:
             " l_quantity FROM"
             " (SELECT *, row_number() OVER () AS rn FROM lineitem)"
             " WHERE rn BETWEEN 3001 AND 4000"
+        ),
+        # epoch-3 deterministic shuffle position (hash formula mirrored
+        # from sample._row_hash with the 65599 epoch fold)
+        "epoch_shuffle_rank": (
+            "WITH h AS (SELECT doc_id,"
+            "   ((doc_id + 3 * 65599) % 2147483647) * 2654435761 % 1000000"
+            "     AS hv FROM documents)"
+            " SELECT doc_id, CAST(row_number() OVER (ORDER BY hv, doc_id)"
+            "   - 1 AS BIGINT) AS epoch_rank FROM h"
         ),
         # first occurrence = smallest (doc_id, pos) of each 4-gram; every
         # later occurrence counts as a duplicated span position

@@ -176,3 +176,59 @@ def token_budget_sample(
         return batch.filter(pa.array((b < cb) | ((b == cb) & in_cb)))
 
     return ds.map_batches(final, batch_format="pyarrow")
+
+
+def epoch_shuffle_rank(
+    ds: rd.Dataset, epoch: int = 0,
+    id_col: str = "doc_id",
+    n_buckets: int = 4096, num_partitions: int = 64,
+) -> rd.Dataset:
+    """Deterministic per-epoch global shuffle for training: every doc gets
+    its position (rank) in the (epoch-hash, id) order — same answer every
+    run, different order every epoch — WITHOUT sorting the corpus.
+
+    rank = prefix-sum of coarse hash-bucket counts (one n_buckets-long
+    int64 vector per batch, summed driver-side) + the doc's local rank
+    inside its bucket. Only (id, hash) METADATA pairs go through one
+    bounded shuffle to resolve local ranks; document payloads never move —
+    at training time the ranks join back (or feed read_row_range) instead
+    of physically reshuffling 100 TB."""
+    import pyarrow.compute as pc  # noqa: F401 (parallel import pattern)
+    import ray
+
+    from .dedup import _grouped_map
+
+    def _h(batch: pa.Table) -> np.ndarray:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return _row_hash(ids.astype(np.int64) + epoch * 65599)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        b = _h(batch) * n_buckets // _BUCKETS
+        s = np.bincount(b, minlength=n_buckets)
+        return pa.table({"sums": pa.array([s.astype(np.int64).tobytes()],
+                                          type=pa.binary())})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").take_all()
+    totals = np.zeros(n_buckets, dtype=np.int64)
+    for r in parts:
+        totals += np.frombuffer(r["sums"], dtype=np.int64)
+    base = np.concatenate([[0], np.cumsum(totals)])[:-1]
+    base_ref = ray.put(base)
+
+    def meta(batch: pa.Table) -> pa.Table:
+        h = _h(batch)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "_h": pa.array(h),
+            "_b": pa.array(h * n_buckets // _BUCKETS),
+        })
+
+    def local_rank(df):
+        b = ray.get(base_ref)
+        df = df.sort_values(["_b", "_h", id_col], kind="mergesort")
+        loc = df.groupby("_b", sort=False).cumcount().to_numpy()
+        return df.assign(
+            epoch_rank=b[df["_b"].to_numpy()] + loc)[[id_col, "epoch_rank"]]
+
+    return _grouped_map(ds.map_batches(meta, batch_format="pyarrow"),
+                        ["_b"], local_rank, num_partitions)

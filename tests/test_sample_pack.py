@@ -165,3 +165,29 @@ def test_pack_drop_mode_doc_starts_within_sequence(ray_session):
     for r in rows:
         for s in r["doc_starts"]:
             assert 0 <= s < 4, r
+
+
+def test_epoch_shuffle_rank(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.sample import _row_hash, epoch_shuffle_rank
+
+    n = 300
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64())})).repartition(4)
+    for epoch in (0, 3):
+        out = epoch_shuffle_rank(ds, epoch=epoch, n_buckets=32,
+                                 num_partitions=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        h = _row_hash(np.arange(n) + epoch * 65599)
+        expect = np.empty(n, dtype=np.int64)
+        expect[np.lexsort((np.arange(n), h))] = np.arange(n)
+        assert out["epoch_rank"].tolist() == expect.tolist()
+    # epochs produce different permutations
+    r0 = epoch_shuffle_rank(ds, 0, n_buckets=32).to_pandas() \
+        .sort_values("doc_id")["epoch_rank"].tolist()
+    r1 = epoch_shuffle_rank(ds, 1, n_buckets=32).to_pandas() \
+        .sort_values("doc_id")["epoch_rank"].tolist()
+    assert r0 != r1 and sorted(r0) == sorted(r1) == list(range(n))
