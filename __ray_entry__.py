@@ -604,34 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_counts": lambda sf_dir: text.vocab_counts(
             text.tokenize_documents(_read(sf_dir, "documents")), k=20),
         "audio_features": _audio_features,
-        # --- (2) round-1 rows only ---
-        "token_count_regex": lambda sf_dir: text.token_count_regex(
-            _read(sf_dir, "documents", columns=["doc_id", "text"])),
-        "token_count_by_source": lambda sf_dir: text.token_count_by_source(
-            _read(sf_dir, "documents", columns=["source", "text"])),
-        "quality_scores": lambda sf_dir: text.quality_scores(_read(sf_dir, "documents")),
-        "quality_filter": lambda sf_dir: text.quality_filter(
-            _read(sf_dir, "documents", columns=["doc_id", "text"]),
-            min_words=40, min_uniq_ratio=0.25).select_columns(["doc_id"]),
-        "lang_id": lambda sf_dir: text.lang_id(_read(sf_dir, "documents")),
-        "doc_fingerprints": lambda sf_dir: text.doc_fingerprints(_read(sf_dir, "documents")),
-        "dedup_exact": lambda sf_dir: dedup.dedup_exact(_read(sf_dir, "documents")),
-        "dedup_minhash": lambda sf_dir: dedup.dedup_minhash_lsh(
-            _read(sf_dir, "documents"), jaccard_threshold=0.8),
-        "dedup_simhash": lambda sf_dir: dedup.dedup_simhash(_read(sf_dir, "documents")),
-        "dedup_ngram_jaccard": lambda sf_dir: _collect(dedup.dedup_ngram_jaccard(
-            _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8)),
-        "dedup_embedding": lambda sf_dir: _collect(dedup.dedup_embedding_cosine(
-            _read(sf_dir, "embeddings"), threshold=0.48)),
-        "dedup_embedding_lsh": lambda sf_dir: dedup.dedup_embedding_lsh(
-            _read(sf_dir, "embeddings"), threshold=0.45),
-        "dedup_end_to_end": _dedup_end_to_end,
-        "ann_topk": ann_topk,
-        "ann_ivf": ann_ivf,
-        "ann_ivf_indexed": _ann_ivf_indexed,
-        "media_features": _media_features,
-        "media_frame_sample": _media_frame_sample,
-        # --- (3) new this round ---
+        # --- (2) new in round 3, no driver row yet ---
         "predicate_scan_temporal": _predicate_scan_temporal,
         "dedup_minhash_exact": _dedup_minhash_exact,
         "hll_error_bound": _hll_error_bound,
@@ -671,6 +644,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events",
                   columns=["event_id", "user_id", "ts", "event_type"])),
         "top_orders_by_revenue": _top_orders_by_revenue,
+        # --- (3) round-1 rows only ---
+        "token_count_regex": lambda sf_dir: text.token_count_regex(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])),
+        "token_count_by_source": lambda sf_dir: text.token_count_by_source(
+            _read(sf_dir, "documents", columns=["source", "text"])),
+        "quality_scores": lambda sf_dir: text.quality_scores(_read(sf_dir, "documents")),
+        "quality_filter": lambda sf_dir: text.quality_filter(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            min_words=40, min_uniq_ratio=0.25).select_columns(["doc_id"]),
+        "lang_id": lambda sf_dir: text.lang_id(_read(sf_dir, "documents")),
+        "doc_fingerprints": lambda sf_dir: text.doc_fingerprints(_read(sf_dir, "documents")),
+        "dedup_exact": lambda sf_dir: dedup.dedup_exact(_read(sf_dir, "documents")),
+        "dedup_minhash": lambda sf_dir: dedup.dedup_minhash_lsh(
+            _read(sf_dir, "documents"), jaccard_threshold=0.8),
+        "dedup_simhash": lambda sf_dir: dedup.dedup_simhash(_read(sf_dir, "documents")),
+        "dedup_ngram_jaccard": lambda sf_dir: _collect(dedup.dedup_ngram_jaccard(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8)),
+        "dedup_embedding": lambda sf_dir: _collect(dedup.dedup_embedding_cosine(
+            _read(sf_dir, "embeddings"), threshold=0.48)),
+        "dedup_embedding_lsh": lambda sf_dir: dedup.dedup_embedding_lsh(
+            _read(sf_dir, "embeddings"), threshold=0.45),
+        "dedup_end_to_end": _dedup_end_to_end,
+        "ann_topk": ann_topk,
+        "ann_ivf": ann_ivf,
+        "ann_ivf_indexed": _ann_ivf_indexed,
+        "media_features": _media_features,
+        "media_frame_sample": _media_frame_sample,
         # --- (4) round-2 rows ---
         "roundtrip_region": roundtrip("region"),
         "roundtrip_nation": roundtrip("nation"),
