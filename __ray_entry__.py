@@ -196,6 +196,19 @@ def _hash_join(sf_dir: str):
     )
 
 
+def _bloom_semi_join(sf_dir: str):
+    """Semi join via broadcast Bloom prefilter + exact co-partition verify:
+    the scale path when the key set is too large to broadcast exactly."""
+    from apacheorcdotnet_ray.pipelines.joins import bloom_semi_join
+
+    return bloom_semi_join(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_quantity"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).filter(
+            expr="o_totalprice > 150000").select_columns(["o_orderkey"]),
+        "l_orderkey", "o_orderkey")
+
+
 def _semi_join(sf_dir: str):
     from apacheorcdotnet_ray.pipelines.joins import semi_join
 
@@ -644,6 +657,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events",
                   columns=["event_id", "user_id", "ts", "event_type"])),
         "top_orders_by_revenue": _top_orders_by_revenue,
+        "group_cube": lambda sf_dir: stats.group_cube(
+            _read(sf_dir, "documents", columns=["source", "lang", "n_chars"]),
+            "source", "lang", "n_chars"),
+        "heavy_hitters": lambda sf_dir: text.heavy_hitters(
+            _read(sf_dir, "documents", columns=["text"]), phi=0.01),
+        "weighted_sample": lambda sf_dir: sample.weighted_sample(
+            _read(sf_dir, "documents", columns=["doc_id", "n_chars"]), k=20),
+        "bloom_semi_join": _bloom_semi_join,
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -983,6 +1004,33 @@ def oracle_sql() -> dict[str, str]:
             " FROM pool a JOIN pool b ON a.text = b.text AND a.doc_id < b.doc_id"
         ),
         "hll_error_bound": "SELECT TRUE AS within_3sigma",
+        # CUBE key columns are non-null in the data, so the grouping-set
+        # NULLs are unambiguous without GROUPING()
+        "group_cube": (
+            "SELECT source, lang, sum(n_chars) AS sum_val, count(*) AS n_rows"
+            " FROM documents GROUP BY CUBE(source, lang)"
+        ),
+        # threshold = floor(phi * N): int() truncation in Python ==
+        # FLOOR here (both positive), same single IEEE multiply
+        "heavy_hitters": (
+            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS w"
+            "   FROM documents),"
+            " g AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),"
+            " n AS (SELECT count(*) AS total FROM t)"
+            " SELECT w, cnt FROM g, n WHERE cnt > FLOOR(0.01 * total)"
+        ),
+        # priority is ONE IEEE double division on both sides (hash and
+        # n_chars are exactly representable), so selection is bit-exact
+        "weighted_sample": (
+            "SELECT doc_id, CAST((doc_id % 2147483647) * 2654435761"
+            "   % 1000000 AS DOUBLE) / n_chars AS priority"
+            " FROM documents ORDER BY priority, doc_id LIMIT 20"
+        ),
+        "bloom_semi_join": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+            " WHERE l_orderkey IN (SELECT o_orderkey FROM orders"
+            "   WHERE o_totalprice > 150000)"
+        ),
         "predicate_scan_bloom": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
             " WHERE l_partkey = 577"

@@ -338,3 +338,80 @@ def semi_join(ds: rd.Dataset, keys_ds: rd.Dataset, left_on: str,
 def anti_join(ds: rd.Dataset, keys_ds: rd.Dataset, left_on: str,
               right_on: str) -> rd.Dataset:
     return semi_join(ds, keys_ds, left_on, right_on, anti=True)
+
+
+def bloom_semi_join(
+    ds: rd.Dataset, keys_ds: rd.Dataset, left_on: str, right_on: str,
+    bits_per_key: int = 10, num_partitions: int = 64,
+) -> rd.Dataset:
+    """Semi join for right key sets too large to broadcast exactly: a Bloom
+    filter of the keys broadcasts instead (~10 bits/key ≈ 1% FP — an order
+    of magnitude leaner than exact 64-bit keys, the difference between a
+    1.25 GB and a 16 GB broadcast at 10^9 keys), prefiltering the left
+    stream so only probable matches pay the exact co-partition verify
+    shuffle. Output == exact semi join — Bloom false positives are removed
+    by the verify stage; the FP rate only adds shuffled volume. Both sides
+    hash identical single-column tables (column renamed to the same name),
+    so probe positions agree regardless of source column names."""
+    import polars as pl
+    import ray
+
+    from .setops import distinct
+
+    l_sch = ds.schema()
+    l_type = l_sch.types[l_sch.names.index(left_on)]
+    rkeys = distinct(keys_ds.select_columns([right_on]), [right_on]) \
+        .map_batches(lambda b: b.rename_columns(["_k"]),
+                     batch_format="pyarrow").materialize()
+    n_keys = max(1, rkeys.count())
+    m_bits = 1 << max(6, int(np.ceil(np.log2(n_keys * bits_per_key))))
+    pos_mask = np.uint64(m_bits - 1)
+    n_hash = max(1, int(round(bits_per_key * 0.6931)))
+
+    def probes(col: pa.Array) -> np.ndarray:
+        """(n_hash, n) bit positions via double hashing of the key values
+        (both sides cast to the left key type so hashes agree)."""
+        t = pa.table({"_k": col.cast(l_type)})
+        h1 = pl.from_arrow(t).hash_rows(seed=11).to_numpy().astype(np.uint64)
+        h2 = pl.from_arrow(t).hash_rows(seed=12).to_numpy().astype(np.uint64) \
+            | np.uint64(1)
+        i = np.arange(n_hash, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) & pos_mask
+
+    def build(batch: pa.Table) -> pa.Table:
+        col = batch.column("_k")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        p = probes(col).ravel()
+        widx = (p >> np.uint64(6)).astype(np.int64)
+        wbit = np.uint64(1) << (p & np.uint64(63))
+        order = np.argsort(widx, kind="stable")
+        uniq, start = np.unique(widx[order], return_index=True)
+        words = np.bitwise_or.reduceat(wbit[order], start)
+        return pa.table({"i": pa.array(uniq), "v": pa.array(words)})
+
+    from .setops import to_arrow_table
+
+    bitmap = np.zeros(m_bits >> 6, dtype=np.uint64)
+    wt = to_arrow_table(rkeys.map_batches(build, batch_format="pyarrow"))
+    np.bitwise_or.at(bitmap, wt.column("i").to_numpy(zero_copy_only=False),
+                     wt.column("v").to_numpy(zero_copy_only=False))
+    bloom_ref = ray.put(bitmap)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        col = batch.column(left_on)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        p = probes(col)
+        hit = (bloom[(p >> np.uint64(6)).astype(np.int64)]
+               >> (p & np.uint64(63))) & np.uint64(1)
+        return batch.filter(pa.array(hit.all(axis=0)))
+
+    survivors = ds.map_batches(prefilter, batch_format="pyarrow")
+    # exact verify: inner repartition join against the DISTINCT key set is
+    # precisely the semi join, and only Bloom-probable rows reach it
+    verify_keys = rkeys.map_batches(
+        lambda b: b.rename_columns(["_bsj_key"]), batch_format="pyarrow")
+    return repartition_join(survivors, verify_keys, left_on, "_bsj_key",
+                            how="inner", num_partitions=num_partitions)

@@ -232,3 +232,38 @@ def epoch_shuffle_rank(
 
     return _grouped_map(ds.map_batches(meta, batch_format="pyarrow"),
                         ["_b"], local_rank, num_partitions)
+
+
+def weighted_sample(
+    ds: rd.Dataset, k: int, weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Deterministic weighted sampling without replacement: k rows chosen
+    by smallest priority h(id)/weight (the A-Res/exponential-keys shape
+    with the repo's deterministic row hash standing in for the uniform
+    draw — heavier rows get proportionally smaller priorities, and the
+    result is reproducible across runs and partitionings). Per-batch
+    partial top-k (argpartition) → tiny driver merge; nothing shuffles.
+    The priority is ONE IEEE double division, evaluated identically by
+    numpy and the SQL oracle, so the selection is bit-exact; ties break
+    on id."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pri = _row_hash(ids).astype(np.float64) / w
+        if len(pri) > k:
+            keep = np.argpartition(pri, k)[:k]
+            batch = batch.take(pa.array(keep))
+            pri = pri[keep]
+        return pa.table({id_col: batch.column(id_col),
+                         "priority": pa.array(pri)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: (r["priority"], r[id_col]))
+    head = parts[:k]
+    return rd.from_arrow(pa.table({
+        id_col: pa.array([r[id_col] for r in head], type=pa.int64()),
+        "priority": pa.array([r["priority"] for r in head], type=pa.float64()),
+    }))

@@ -612,3 +612,58 @@ def event_paths(
     return _grouped_map(
         ds.select_columns([user_col, ts_col, id_col, type_col]),
         [user_col], agg)
+
+
+def group_cube(ds: rd.Dataset, key1: str, key2: str, value_col: str) -> rd.Dataset:
+    """GROUP BY CUBE(key1, key2): all four grouping sets — (k1,k2), (k1),
+    (k2), () — from ONE streaming pass. Per-batch partial sums over the
+    pair domain shuffle as partials (never rows); the three coarser sets
+    are a free driver-side fold over the tiny per-pair result, so no second
+    scan and no second shuffle. SQL SUM semantics match group_rollup's
+    (reference stats roll-up: src/ApacheOrcDotNet/Statistics/, same
+    stride→stripe→file aggregation tree shape, one level wider)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key1, key2]).aggregate(
+            [(value_col, "sum"), ([], "count_all")])
+        g = g.select([key1, key2, f"{value_col}_sum", "count_all"])
+        return g.rename_columns([key1, key2, "p_sum", "p_cnt"])
+
+    per_pair = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key1, key2])
+        .aggregate(Sum("p_sum", alias_name="sum_val"),
+                   Sum("p_cnt", alias_name="n_rows"))
+    )
+    rows = per_pair.take_all()  # tiny: one row per (key1, key2) pair
+    sch = per_pair.schema() if rows else None
+    if sch is not None:
+        t1 = sch.types[sch.names.index(key1)]
+        t2 = sch.types[sch.names.index(key2)]
+        ts = sch.types[sch.names.index("sum_val")]
+    else:  # empty input: aggregate yields no schema — fall back to the input's
+        in_sch = ds.schema()
+        t1 = in_sch.types[in_sch.names.index(key1)]
+        t2 = in_sch.types[in_sch.names.index(key2)]
+        ts = in_sch.types[in_sch.names.index(value_col)]
+
+    def fold(group_rows, k1, k2):
+        sums = [r["sum_val"] for r in group_rows]
+        non_null = [s for s in sums if s is not None]
+        return {key1: k1, key2: k2,
+                "sum_val": sum(non_null) if non_null else None,
+                "n_rows": sum(r["n_rows"] for r in group_rows)}
+
+    out = [fold([r], r[key1], r[key2]) for r in rows]
+    for k1 in sorted({r[key1] for r in rows}, key=lambda v: (v is None, v)):
+        out.append(fold([r for r in rows if r[key1] == k1], k1, None))
+    for k2 in sorted({r[key2] for r in rows}, key=lambda v: (v is None, v)):
+        out.append(fold([r for r in rows if r[key2] == k2], None, k2))
+    out.append(fold(rows, None, None))
+    return rd.from_arrow(pa.table({
+        key1: pa.array([r[key1] for r in out], type=t1),
+        key2: pa.array([r[key2] for r in out], type=t2),
+        "sum_val": pa.array([r["sum_val"] for r in out], type=ts),
+        "n_rows": pa.array([r["n_rows"] for r in out], type=pa.int64()),
+    }))

@@ -545,3 +545,81 @@ def normalize_text(ds: rd.Dataset, id_col: str = "doc_id",
         return pa.table({id_col: batch.column(id_col), "norm_text": t})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+def heavy_hitters(ds: rd.Dataset, phi: float = 0.002,
+                  text_col: str = "text") -> rd.Dataset:
+    """Exact frequent words above a support fraction (count > floor(phi*N)),
+    via a mergeable Misra–Gries sketch plus one exact verification pass.
+
+    Pass 1: each batch emits its exact word counts compressed to an MG
+    summary of capacity m = ceil(2/phi) (subtract the (m+1)-th largest
+    weight, keep positives) plus one NULL-word sentinel row carrying the
+    batch token count; the driver merges summaries the same way. The
+    mergeable-summary guarantee (Agarwal et al., "Mergeable Summaries",
+    PODS'12) keeps total error <= N/(m+1) < floor(phi*N)+1, so the merged
+    sketch's support is a superset of the true answer. Pass 2 broadcasts
+    the <=m candidate words once and exact-counts only those
+    (pc.index_in + bincount), so the shuffle is candidate-sized — never
+    vocabulary-sized like a naive word-count groupby at 100 TB."""
+    import ray
+
+    m = int(np.ceil(2.0 / phi))
+
+    def compress(values: pa.Array, counts: np.ndarray):
+        if len(counts) <= m:
+            return values, counts
+        order = np.argsort(counts, kind="stable")[::-1]
+        residual = counts[order[m]]
+        w = counts[order[:m]] - residual
+        keep = order[:m][w > 0]
+        return values.take(pa.array(keep)), counts[keep] - residual
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat = pc.split_pattern(texts, " ").flatten()
+        vc = flat.value_counts()
+        values = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        values, counts = compress(values, counts)
+        # sentinel NULL word carries this batch's token count for N
+        return pa.table({
+            "w": pa.concat_arrays([values.cast(pa.string()),
+                                   pa.array([None], type=pa.string())]),
+            "wt": pa.array(np.concatenate([counts, [len(flat)]])),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = sum(r["wt"] for r in rows if r["w"] is None)
+    agg: dict[str, int] = {}
+    for r in rows:
+        if r["w"] is not None:
+            agg[r["w"]] = agg.get(r["w"], 0) + int(r["wt"])
+    threshold = int(phi * total)  # answer = words with count > threshold
+    if threshold + 1 > total / (m + 1):
+        cand, _ = compress(pa.array(list(agg.keys()), type=pa.string()),
+                           np.asarray(list(agg.values()), dtype=np.int64))
+    else:
+        # degenerate tiny-N case (phi*N < 1): guarantee needs the full map
+        cand = pa.array(list(agg.keys()), type=pa.string())
+    cand_ref = ray.put(cand)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat = pc.split_pattern(texts, " ").flatten()
+        codes = pc.index_in(flat, value_set=cand).drop_null()
+        cnt = np.bincount(codes.to_numpy(zero_copy_only=False).astype(np.int64),
+                          minlength=len(cand)).astype(np.int64)
+        return pa.table({"w": cand, "cnt": pa.array(cnt)})
+
+    from .dedup import _grouped_map
+
+    def reduce_part(df):
+        return df.groupby("w", sort=False, as_index=False)["cnt"].sum()
+
+    summed = _grouped_map(ds.map_batches(exact, batch_format="pyarrow"),
+                          ["w"], reduce_part, num_partitions=8)
+    return summed.filter(expr=f"cnt > {threshold}")

@@ -1,0 +1,111 @@
+"""Round-3 operators: GROUP BY CUBE, Misra-Gries heavy hitters,
+deterministic weighted sampling, and the Bloom-prefiltered semi join."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from apacheorcdotnet_ray.pipelines.joins import bloom_semi_join, semi_join
+from apacheorcdotnet_ray.pipelines.sample import weighted_sample
+from apacheorcdotnet_ray.pipelines.stats import group_cube
+from apacheorcdotnet_ray.pipelines.text import heavy_hitters
+
+
+def test_group_cube_all_grouping_sets(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(["x", "x", "y", "y", "y"]),
+        "b": pa.array(["p", "q", "p", "p", "q"]),
+        "v": pa.array([1, 2, 4, 8, 16], type=pa.int64()),
+    })).repartition(3)
+    rows = {(r["a"], r["b"]): (r["sum_val"], r["n_rows"])
+            for r in group_cube(ds, "a", "b", "v").take_all()}
+    assert rows[("x", "p")] == (1, 1)
+    assert rows[("x", "q")] == (2, 1)
+    assert rows[("y", "p")] == (12, 2)
+    assert rows[("y", "q")] == (16, 1)
+    assert rows[("x", None)] == (3, 2)
+    assert rows[("y", None)] == (28, 3)
+    assert rows[(None, "p")] == (13, 3)
+    assert rows[(None, "q")] == (18, 2)
+    assert rows[(None, None)] == (31, 5)
+    assert len(rows) == 9
+
+
+def test_group_cube_empty(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([], type=pa.string()),
+        "b": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.int64()),
+    }))
+    rows = group_cube(ds, "a", "b", "v").take_all()
+    assert len(rows) == 1  # just the () grouping set, like SQL CUBE
+    assert rows[0]["sum_val"] is None and rows[0]["n_rows"] == 0
+
+
+def test_heavy_hitters_exact_vs_naive(ray_session):
+    # skewed corpus: 'hot' dominates, tail words are unique
+    docs = [("hot " * 50).strip() for _ in range(20)]
+    docs += [f"w{i} hot filler{i}" for i in range(200)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(8)
+    # exact ground truth
+    words = " ".join(docs).split(" ")
+    total = len(words)
+    from collections import Counter
+
+    cnt = Counter(words)
+    phi = 0.05
+    expect = {w: c for w, c in cnt.items() if c > int(phi * total)}
+    got = {r["w"]: r["cnt"] for r in heavy_hitters(ds, phi=phi).take_all()}
+    assert got == expect
+    assert "hot" in got
+
+
+def test_heavy_hitters_tiny_corpus_degenerate(ray_session):
+    # phi*N < 1: every word qualifies (count > 0); the sketch must not drop any
+    ds = rd.from_arrow(pa.table({"text": pa.array(["a b", "b c"])}))
+    got = {r["w"]: r["cnt"] for r in heavy_hitters(ds, phi=0.001).take_all()}
+    assert got == {"a": 1, "b": 2, "c": 1}
+
+
+def test_weighted_sample_matches_priority_order(ray_session):
+    ids = np.arange(100, dtype=np.int64)
+    w = (ids % 7 + 1).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})) \
+        .repartition(5)
+    out = weighted_sample(ds, k=10, weight_col="n_chars").take_all()
+    h = ((ids % 2147483647) * 2654435761) % 1_000_000
+    pri = h.astype(np.float64) / w
+    order = np.lexsort((ids, pri))[:10]
+    assert [r["doc_id"] for r in out] == list(ids[order])
+    assert [r["priority"] for r in out] == list(pri[order])
+
+
+def test_bloom_semi_join_equals_exact_semi(ray_session):
+    rng = np.random.default_rng(7)
+    left_keys = rng.integers(0, 1000, size=5000).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(left_keys),
+        "x": pa.array(np.arange(5000, dtype=np.int64)),
+    })).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(np.arange(0, 1000, 3, dtype=np.int64)),
+    })).repartition(2)
+    got = bloom_semi_join(left, right, "k", "rk", num_partitions=8).take_all()
+    exact_mask = (left_keys % 3) == 0
+    assert len(got) == int(exact_mask.sum())
+    assert sorted(r["x"] for r in got) == list(np.arange(5000)[exact_mask])
+    # schema: left columns only
+    assert sorted(got[0].keys()) == ["k", "x"]
+
+
+def test_bloom_semi_join_string_keys(ray_session):
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([f"id{i % 50}" for i in range(400)]),
+        "x": pa.array(np.arange(400, dtype=np.int64)),
+    })).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([f"id{i}" for i in range(0, 50, 5)]),
+    }))
+    got = bloom_semi_join(left, right, "k", "rk", num_partitions=4).take_all()
+    exact = semi_join(left, right, "k", "rk").take_all()
+    assert sorted(r["x"] for r in got) == sorted(r["x"] for r in exact)
