@@ -196,6 +196,22 @@ def _hash_join(sf_dir: str):
     )
 
 
+def _delete_scan(sf_dir: str):
+    """Merge-on-read delete vectors: two delete_where passes write per-stripe
+    bitmap sidecars (no stripe bytes rewritten); the decode applies them as a
+    final row filter. Deletes accumulate and re-runs are idempotent, so the
+    cached encode dir stays deterministic."""
+    from apacheorcdotnet_ray.pipelines.deletes import delete_where
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus
+
+    out = _out_dir(sf_dir, "del-orders")
+    encode_corpus([_table_path(sf_dir, "orders")], out)  # resume-aware
+    delete_where(out, ("o_totalprice", ">", 200000.0))
+    delete_where(out, [("o_orderstatus", "==", "F"),
+                       ("o_custkey", "<", 500)])
+    return decode_dataset(out)
+
+
 def _bloom_semi_join(sf_dir: str):
     """Semi join via broadcast Bloom prefilter + exact co-partition verify:
     the scale path when the key set is too large to broadcast exactly."""
@@ -665,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": lambda sf_dir: sample.weighted_sample(
             _read(sf_dir, "documents", columns=["doc_id", "n_chars"]), k=20),
         "bloom_semi_join": _bloom_semi_join,
+        "delete_scan": _delete_scan,
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -1030,6 +1047,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
             " WHERE l_orderkey IN (SELECT o_orderkey FROM orders"
             "   WHERE o_totalprice > 150000)"
+        ),
+        # rows surviving both delete_where passes
+        "delete_scan": (
+            "SELECT * FROM orders"
+            " WHERE NOT (o_totalprice > 200000)"
+            " AND NOT (o_orderstatus = 'F' AND o_custkey < 500)"
         ),
         "predicate_scan_bloom": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"

@@ -194,6 +194,13 @@ def compact_stripes(
         dst = os.path.join(out_dir, os.path.basename(p))
         if not os.path.exists(dst):
             shutil.copy(p, dst)
+        # merge-on-read deletes travel with a passthrough copy (merged bins
+        # instead apply them physically via StripeDecoder and start clean)
+        from ..stripe.deletes import sidecar_path
+
+        if os.path.exists(sidecar_path(p)) \
+                and not os.path.exists(sidecar_path(dst)):
+            shutil.copy(sidecar_path(p), sidecar_path(dst))
 
     merged = 0
     if small_bins:

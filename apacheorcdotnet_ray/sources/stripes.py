@@ -234,7 +234,9 @@ def read_stripes(
                                  if c in sch.names])
             fallback_schema = sch
             break
-    ds = rd.read_binary_files(paths)
+    # include_paths: the decoder needs each stripe's path to find its
+    # merge-on-read delete sidecar (<file>.del, stripe/deletes.py)
+    ds = rd.read_binary_files(paths, include_paths=True)
     # stateless → plain-function task pool; the predicate additionally skips
     # non-qualifying strides inside row-indexed stripes (ROW_INDEX analog)
     decoder = StripeDecoder(columns=read_cols, predicate=preds or None,
@@ -318,12 +320,17 @@ def read_row_range(
     sel_paths = [p for p in paths if os.path.basename(p) in ranges]
 
     def dec(batch: pa.Table) -> pa.Table:
+        from ..stripe.deletes import read_delete_mask
+
         out = []
         for path, blob in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
+            # row_range addresses PHYSICAL rows (stable across deletes, so a
+            # resume offset never shifts); deleted rows drop from the slice
             out.append(decode_stripe(
                 blob, columns=columns,
-                row_range=ranges[os.path.basename(path)]))
+                row_range=ranges[os.path.basename(path)],
+                delete_mask=read_delete_mask(path)))
         return pa.concat_tables(out)
 
     return rd.read_binary_files(sel_paths, include_paths=True).map_batches(

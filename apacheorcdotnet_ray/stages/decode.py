@@ -18,7 +18,8 @@ class StripeDecoder:
                  predicate: tuple | None = None,
                  schema: pa.Schema | None = None,
                  on_error: str = "raise",
-                 fallback_schema: pa.Schema | None = None):
+                 fallback_schema: pa.Schema | None = None,
+                 apply_deletes: bool = True):
         self.columns = columns
         # (col, op, lit): on row-indexed stripes, skips non-qualifying
         # strides before decompression; caller still applies the exact filter
@@ -39,6 +40,11 @@ class StripeDecoder:
         # makes downstream blocks heterogeneous and column refs fail) —
         # read_stripes derives this from the first readable footer
         self.fallback_schema = fallback_schema
+        # merge-on-read delete vectors (stripe/deletes.py): when input
+        # batches carry paths, each stripe's <file>.del sidecar (if any) is
+        # applied as a final row filter. Requires read_binary_files(...,
+        # include_paths=True); bytes-only input decodes without deletes.
+        self.apply_deletes = apply_deletes
 
     def _conform(self, table: pa.Table) -> pa.Table:
         cols = {}
@@ -50,19 +56,27 @@ class StripeDecoder:
         return pa.table(cols).cast(self.schema)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        paths = (batch.column("path").to_pylist()
+                 if "path" in batch.column_names else None)
         if "bytes" in batch.column_names:
             blobs = batch.column("bytes").to_pylist()
         else:  # paths only
             blobs = []
-            for p in batch.column("path").to_pylist():
+            for p in paths:
                 with open(p, "rb") as f:
                     blobs.append(f.read())
+        masks = [None] * len(blobs)
+        if self.apply_deletes and paths is not None:
+            from ..stripe.deletes import read_delete_mask
+
+            masks = [read_delete_mask(p) for p in paths]
         tables = []
         skipped = 0
-        for b in blobs:
+        for b, dm in zip(blobs, masks):
             try:
                 tables.append(decode_stripe(b, columns=self.columns,
-                                            predicate=self.predicate))
+                                            predicate=self.predicate,
+                                            delete_mask=dm))
             except Exception as e:  # noqa: BLE001 — skip means skip: footer
                 # corruption raises zlib.error/json errors, stream corruption
                 # ValueError; all of them must not kill a skip-mode job

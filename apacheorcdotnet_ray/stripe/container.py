@@ -262,6 +262,7 @@ def decode_stripe(
     predicate: tuple | None = None,
     io_stats: dict | None = None,
     row_range: tuple[int, int] | None = None,
+    delete_mask=None,
 ) -> pa.Table:
     """Decode container bytes back to an Arrow table (optionally projected).
 
@@ -276,7 +277,10 @@ def decode_stripe(
     overlapping strides decompress (the ORC seek-to-row analog), then the
     exact slice is taken — the trainer fast-forward path. ``io_stats``,
     when passed, is filled with {bytes_read, bytes_decompressed,
-    strides_total, strides_read}.
+    strides_total, strides_read}. ``delete_mask`` (bool array over the
+    stripe's PHYSICAL rows, True = deleted; see stripe/deletes.py) is
+    applied as the final filter — with ``row_range`` the range addresses
+    physical rows and deleted rows are dropped from the slice after.
     """
     footer = read_footer(buf)
     if footer.get("version", 1) not in READABLE_VERSIONS:  # v3: ts fallback
@@ -448,8 +452,36 @@ def decode_stripe(
     cols = {f.name: decoded[f.name] if f.name in decoded else decode_field(f)
             for f in proj}
     tbl = pa.table(cols, schema=out_schema)
+
+    keep = None  # ~delete_mask aligned to the DECODED rows (selected strides)
+    if delete_mask is not None:
+        import numpy as np
+
+        dm = np.asarray(delete_mask, dtype=bool)
+        if len(dm) != n_rows:
+            raise ValueError(
+                f"delete mask length {len(dm)} != stripe rows {n_rows}")
+        if stride_rows is not None and sel != list(range(len(stride_rows))):
+            bounds = [0]
+            for sr in stride_rows:
+                bounds.append(bounds[-1] + sr)
+            parts = [~dm[bounds[si]:bounds[si + 1]] for si in sel]
+            keep = (np.concatenate(parts) if parts
+                    else np.zeros(0, dtype=bool))
+        else:
+            keep = ~dm
+
     if mask is not None:
+        if keep is not None:
+            import pyarrow.compute as pc
+
+            mask = pc.and_(mask, pa.array(keep))
         tbl = tbl.filter(mask)  # non-matching rows never leave the task
-    if range_slice is not None:
+    elif range_slice is not None:
         tbl = tbl.slice(*range_slice)  # zero-copy exact-row trim
+        if keep is not None:
+            tbl = tbl.filter(pa.array(
+                keep[range_slice[0]:range_slice[0] + range_slice[1]]))
+    elif keep is not None:
+        tbl = tbl.filter(pa.array(keep))
     return tbl
