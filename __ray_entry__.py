@@ -682,6 +682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", columns=["doc_id", "n_chars"]), k=20),
         "bloom_semi_join": _bloom_semi_join,
         "delete_scan": _delete_scan,
+        "windowed_distinct": lambda sf_dir: stats.windowed_distinct(
+            _read(sf_dir, "events", columns=["ts", "user_id"])),
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -1047,6 +1049,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
             " WHERE l_orderkey IN (SELECT o_orderkey FROM orders"
             "   WHERE o_totalprice > 150000)"
+        ),
+        "windowed_distinct": (
+            "SELECT date_trunc('hour', ts) AS window_start,"
+            " CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct"
+            " FROM events GROUP BY 1"
         ),
         # rows surviving both delete_where passes
         "delete_scan": (

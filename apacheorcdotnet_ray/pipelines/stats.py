@@ -667,3 +667,31 @@ def group_cube(ds: rd.Dataset, key1: str, key2: str, value_col: str) -> rd.Datas
         "sum_val": pa.array([r["sum_val"] for r in out], type=ts),
         "n_rows": pa.array([r["n_rows"] for r in out], type=pa.int64()),
     }))
+
+
+def windowed_distinct(ds: rd.Dataset, ts_col: str = "ts",
+                      id_col: str = "user_id",
+                      window: str = "hour") -> rd.Dataset:
+    """Exact COUNT(DISTINCT id) per tumbling window — the sessions-per-hour
+    shape. Two-level reduction: per-batch (window, id) dedup partials (so
+    the shuffle carries distinct pairs, not events), one bounded hash
+    shuffle keyed on the window, then a vectorized per-window nunique.
+    At 100 TB the pair domain is bounded by windows x active ids — the same
+    reduction a groupby over raw events could never afford."""
+    import pyarrow.compute as pc
+
+    from .dedup import _grouped_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(batch.column(ts_col), unit=window)
+        t = pa.table({"window_start": ws, "id": batch.column(id_col)})
+        return t.group_by(["window_start", "id"]).aggregate([])
+
+    def reduce_part(df):
+        g = df.groupby("window_start", sort=False)["id"].nunique()
+        out = g.rename("n_distinct").to_frame().reset_index()
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out
+
+    return _grouped_map(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["window_start"], reduce_part)

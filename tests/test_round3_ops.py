@@ -109,3 +109,21 @@ def test_bloom_semi_join_string_keys(ray_session):
     got = bloom_semi_join(left, right, "k", "rk", num_partitions=4).take_all()
     exact = semi_join(left, right, "k", "rk").take_all()
     assert sorted(r["x"] for r in got) == sorted(r["x"] for r in exact)
+
+
+def test_windowed_distinct(ray_session):
+    import pandas as pd
+
+    from apacheorcdotnet_ray.pipelines.stats import windowed_distinct
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:05", "2024-01-01 10:55", "2024-01-01 10:59",
+        "2024-01-01 11:01", "2024-01-01 11:30",
+    ])
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 1, 1], type=pa.int64()),
+    })).repartition(3)
+    got = {str(r["window_start"]): r["n_distinct"]
+           for r in windowed_distinct(ds).take_all()}
+    assert got == {"2024-01-01 10:00:00": 2, "2024-01-01 11:00:00": 1}
