@@ -196,6 +196,22 @@ def _hash_join(sf_dir: str):
     )
 
 
+def _bm25_index_search(sf_dir: str):
+    """BM25 from a MATERIALIZED inverted index (postings parquet partitioned
+    by term-hash bucket, built once): search reads only the query terms'
+    partitions, scores bit-identically to the streaming bm25_search — same
+    SQL oracle."""
+    import glob
+
+    from apacheorcdotnet_ray.pipelines import text
+
+    idx = _out_dir(sf_dir, "txt-index")
+    if not glob.glob(os.path.join(idx, "meta.json")):
+        text.text_index_build(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]), idx)
+    return text.text_index_search(idx, "hash join merge", k=10, idf="linear")
+
+
 def _delete_scan(sf_dir: str):
     """Merge-on-read delete vectors: two delete_where passes write per-stripe
     bitmap sidecars (no stripe bytes rewritten); the decode applies them as a
@@ -684,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_scan": _delete_scan,
         "windowed_distinct": lambda sf_dir: stats.windowed_distinct(
             _read(sf_dir, "events", columns=["ts", "user_id"])),
+        "bm25_index_search": _bm25_index_search,
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -1301,6 +1318,28 @@ def oracle_sql() -> dict[str, str]:
         # tf = exact tokenized term frequency (count of words equal to the
         # term), matching text.bm25_search's index_in+bincount kernel
         "bm25_search": (
+            "WITH p AS (SELECT doc_id, string_split(text, ' ') AS ws,"
+            "   len(string_split(text, ' ')) AS dl FROM documents),"
+            " tf AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dl,"
+            "   CAST(len(list_filter(ws, w -> w = 'hash')) AS DOUBLE) AS tf0,"
+            "   CAST(len(list_filter(ws, w -> w = 'join')) AS DOUBLE) AS tf1,"
+            "   CAST(len(list_filter(ws, w -> w = 'merge')) AS DOUBLE) AS tf2"
+            "   FROM p),"
+            " g AS (SELECT count(*) AS n, sum(dl) AS sdl,"
+            "   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,"
+            "   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,"
+            "   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM tf),"
+            " s AS (SELECT tf.doc_id,"
+            "   (CAST(g.n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5) * tf0 * (1.2 + 1.0)"
+            "     / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (g.sdl / g.n)))"
+            "   + (CAST(g.n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) * tf1 * (1.2 + 1.0)"
+            "     / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (g.sdl / g.n)))"
+            "   + (CAST(g.n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) * tf2 * (1.2 + 1.0)"
+            "     / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (g.sdl / g.n)))"
+            "   AS score FROM tf, g)"
+            " SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "bm25_index_search": (
             "WITH p AS (SELECT doc_id, string_split(text, ' ') AS ws,"
             "   len(string_split(text, ' ')) AS dl FROM documents),"
             " tf AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dl,"

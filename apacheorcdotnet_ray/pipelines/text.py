@@ -623,3 +623,146 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.002,
     summed = _grouped_map(ds.map_batches(exact, batch_format="pyarrow"),
                           ["w"], reduce_part, num_partitions=8)
     return summed.filter(expr=f"cnt > {threshold}")
+
+
+def _term_bucket(terms: pa.Array, num_buckets: int) -> np.ndarray:
+    """Stable term → bucket id (shared by index build and search)."""
+    import polars as pl
+
+    h = pl.from_arrow(pa.table({"t": terms}))["t"].hash(seed=7).to_numpy()
+    return (h.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def text_index_build(ds: rd.Dataset, index_dir: str, num_buckets: int = 32,
+                     id_col: str = "doc_id", text_col: str = "text") -> dict:
+    """Materialize an inverted BM25 index: postings (term, doc_id, tf, dl)
+    written as parquet PARTITIONED BY hash(term) % num_buckets, corpus
+    totals (n_docs, sum_dl) in meta.json. A search then reads ONLY the
+    query terms' bucket partitions — query cost scales with the terms'
+    document frequency, not the corpus (the text sibling of ivf_build's
+    prune-at-the-read layout). Doc length is denormalized into each
+    posting (the Lucene norms trick) so scoring needs no doc-length join.
+    Per-(doc, term) tf is exact tokenized counts, identical to
+    bm25_search's kernel, so index-backed scores match the streaming path
+    bit-for-bit."""
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        wl = pc.split_pattern(texts, " ")
+        flat = wl.flatten().dictionary_encode()
+        offs = np.asarray(wl.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        dl = np.diff(offs)
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), dl)
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = max(1, len(flat.dictionary))
+        uk, cnt = np.unique(doc_idx * nv + codes, return_counts=True)
+        d, c = uk // nv, uk % nv
+        term = flat.dictionary.take(pa.array(c))
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            "term": term,
+            id_col: ids.take(pa.array(d)),
+            "tf": pa.array(cnt.astype(np.int64)),
+            "dl": pa.array(dl[d].astype(np.int64)),
+            "bucket": pa.array(_term_bucket(term, num_buckets)),
+        })
+
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"])
+
+    def meta_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+            "sum_dl": pa.array([int(np.sum(
+                word_counts(batch, text_col).to_numpy()))], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(meta_partial, batch_format="pyarrow") \
+        .sum(["n_docs", "sum_dl"])
+    meta = {"n_docs": int(agg["sum(n_docs)"]), "sum_dl": int(agg["sum(sum_dl)"]),
+            "num_buckets": num_buckets, "id_col": id_col}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def text_index_search(index_dir: str, query: str, k: int = 10,
+                      k1: float = 1.2, b: float = 0.75,
+                      idf: str = "log") -> rd.Dataset:
+    """BM25 top-k against a materialized inverted index: only the query
+    terms' bucket partitions are read (partition pruning at the source);
+    candidates pivot to per-doc tf vectors in bounded hash partitions and
+    score with the exact bm25_search expression (absent terms contribute
+    +0.0, which is exact in IEEE, so scores equal the streaming pass
+    bit-for-bit for every doc containing at least one term)."""
+    import glob
+    import json
+    import os
+
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
+    terms = sorted(set(query.split()))
+    buckets = sorted({int(x) for x in _term_bucket(
+        pa.array(terms, type=pa.string()), meta["num_buckets"])})
+    paths = [p for bkt in buckets for p in sorted(
+        glob.glob(os.path.join(index_dir, f"bucket={bkt}", "*.parquet")))]
+    empty = pa.schema([pa.field(id_col, pa.int64()),
+                       pa.field("score", pa.float64())])
+    if not paths:
+        return rd.from_arrow(empty.empty_table())
+    from ..sources.parquet import read_parquet_clean
+
+    term_arr = pa.array(terms, type=pa.string())
+    cands = read_parquet_clean(paths, columns=["term", id_col, "tf", "dl"]) \
+        .map_batches(lambda t: t.filter(pc.is_in(t.column("term"),
+                                                 value_set=term_arr)),
+                     batch_format="pyarrow")
+
+    # exact per-term document frequencies: postings rows are distinct
+    # (term, doc) pairs, so df = row count per term — a tiny aggregate
+    def df_partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("term").combine_chunks().value_counts() \
+            if isinstance(batch.column("term"), pa.ChunkedArray) \
+            else batch.column("term").value_counts()
+        return pa.table({"term": vc.field("values").cast(pa.string()),
+                         "df": vc.field("counts").cast(pa.int64())})
+
+    df_map = {t: 0 for t in terms}
+    for r in cands.map_batches(df_partial, batch_format="pyarrow").take_all():
+        df_map[r["term"]] += int(r["df"])
+    dfs = np.array([df_map[t] for t in terms], dtype=np.float64)
+    idfs = (np.log((n_docs - dfs + 0.5) / (dfs + 0.5)) if idf == "log"
+            else (n_docs - dfs + 0.5) / (dfs + 0.5))
+
+    from .dedup import _grouped_map
+
+    def score_part(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(index=[id_col, "dl"], columns="term",
+                             values="tf", fill_value=0, aggfunc="sum")
+        piv = piv.reset_index()
+        dl = piv["dl"].to_numpy().astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(piv), dtype=np.float64)
+        for i, t in enumerate(terms):  # same term order as the oracle
+            tf = (piv[t].to_numpy().astype(np.float64)
+                  if t in piv.columns else np.zeros(len(piv)))
+            s += idfs[i] * tf * (k1 + 1.0) / (tf + norm)
+        out = pd.DataFrame({id_col: piv[id_col], "score": s})
+        return out.sort_values(["score", id_col],
+                               ascending=[False, True]).head(k)
+
+    scored = _grouped_map(cands, [id_col], score_part)
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k)

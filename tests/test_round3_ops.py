@@ -127,3 +127,28 @@ def test_windowed_distinct(ray_session):
     got = {str(r["window_start"]): r["n_distinct"]
            for r in windowed_distinct(ds).take_all()}
     assert got == {"2024-01-01 10:00:00": 2, "2024-01-01 11:00:00": 1}
+
+
+def test_text_index_matches_streaming_bm25(ray_session, tmp_path):
+    from apacheorcdotnet_ray.pipelines.text import (
+        bm25_search, text_index_build, text_index_search)
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array([
+            f"alpha beta {'gamma ' * (i % 5)}delta w{i}".strip()
+            for i in range(60)]),
+    })
+    ds = rd.from_arrow(docs).repartition(4)
+    idx = str(tmp_path / "txtidx")
+    meta = text_index_build(ds, idx, num_buckets=8)
+    assert meta["n_docs"] == 60
+    for q in ("gamma delta", "alpha missingword", "w7"):
+        a = text_index_search(idx, q, k=5, idf="log").take_all()
+        b = bm25_search(ds, q, k=5, idf="log").take_all()
+        ai = [(r["doc_id"], r["score"]) for r in a]
+        bi = [(r["doc_id"], r["score"]) for r in b]
+        # streaming top-k may include zero-score docs when fewer than k
+        # contain any term; the index path only returns matching docs
+        # (here every doc matches 'alpha'/'delta', so the sets coincide)
+        assert ai == bi[:len(ai)]
