@@ -142,3 +142,62 @@ def iter_training_batches(stripe_dir: str, seq_len: int = 2048,
             flat = np.asarray(toks.to_numpy(zero_copy_only=False)).ravel()
         mat = flat.astype(np.int32, copy=False).reshape(len(toks), seq_len)
         yield mat, b.column("n_tokens").to_numpy(zero_copy_only=False)
+
+
+def iter_shuffled_batches(stripe_dir: str, epoch: int, seq_len: int = 2048,
+                          batch_rows: int = 32, pad_id: int = 0,
+                          tokens_col: str = "tokens", id_col: str = "doc_id",
+                          num_partitions: int = 64):
+    """Per-epoch shuffled trainer stream WITHOUT a global shuffle: the
+    two-level deterministic shuffle every at-scale training loop uses.
+
+    Level 1 — stripe order: files are visited in a seeded permutation
+    (sorted by hash(name, epoch)), so each epoch streams the corpus in a
+    different file order at zero data-movement cost. Level 2 — within the
+    stream, docs get sample.epoch_shuffle_rank-style deterministic ranks and
+    each decode batch is permuted locally before packing. The composition
+    approximates a uniform shuffle the way block-shuffled data loaders do
+    (shard order x intra-shard permutation), is fully reproducible from
+    (corpus, epoch), and never materializes more than Ray's object store
+    holds — a true global shuffle of 10^12 tokens would be an all-to-all
+    over the entire corpus every epoch."""
+    import zlib as _z
+
+    import numpy as np
+
+    from ..sources.stripes import stripe_paths
+    from ..stages.decode import StripeDecoder
+    import os
+    import ray.data as rd
+
+    paths = stripe_paths(stripe_dir)
+    if not paths:
+        raise FileNotFoundError(f"no .oray stripes under {stripe_dir}")
+    order = sorted(paths, key=lambda p: _z.crc32(
+        f"{os.path.basename(p)}#{epoch}".encode()))
+    ds = rd.read_binary_files(order, include_paths=True).map_batches(
+        StripeDecoder(columns=[id_col, tokens_col]).__call__,
+        batch_format="pyarrow", batch_size=None)
+
+    def permute(batch: pa.Table) -> pa.Table:
+        # deterministic local permutation: rank = crc-free integer hash of
+        # (row position, epoch) — stable across runs for a fixed corpus
+        n = batch.num_rows
+        r = (np.arange(n, dtype=np.int64) * np.int64(2654435761)
+             + np.int64(epoch) * np.int64(40503)) % np.int64(max(n, 1) * 2 + 1)
+        return batch.take(pa.array(np.argsort(r, kind="stable")))
+
+    shuffled = ds.map_batches(permute, batch_format="pyarrow")
+    packed = pack_sequences(shuffled, seq_len=seq_len, tokens_col=tokens_col,
+                            id_col=id_col, pad_id=pad_id,
+                            num_partitions=num_partitions)
+    for b in packed.iter_batches(batch_size=batch_rows, batch_format="pyarrow"):
+        toks = b.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        if hasattr(toks, "flatten"):
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+        else:
+            flat = np.asarray(toks.to_numpy(zero_copy_only=False)).ravel()
+        mat = flat.astype(np.int32, copy=False).reshape(len(toks), seq_len)
+        yield mat, b.column("n_tokens").to_numpy(zero_copy_only=False)
