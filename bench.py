@@ -172,6 +172,25 @@ def run_bench() -> dict:
     timed("pack_sequences", lambda: pack.pack_sequences(
         tokenize_documents(docs_ds), seq_len=2048).count())
 
+    idx_dir = "/tmp/oray_bench_txtidx"
+
+    def _bm25_index():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        text.text_index_build(
+            docs_ds.select_columns(["doc_id", "text"]), idx_dir)
+        text.text_index_search(idx_dir, "hash join merge", k=10,
+                               idf="linear").to_pandas()
+
+    timed("bm25_index", _bm25_index)
+
+    timed("bloom_semi_join", lambda: joins.bloom_semi_join(
+        read_parquet_clean(os.path.join(SF_DIR, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_linenumber", "l_quantity"]),
+        read_parquet_clean(os.path.join(SF_DIR, "orders.parquet"),
+                           columns=["o_orderkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 150000").select_columns(["o_orderkey"]),
+        "l_orderkey", "o_orderkey").count())
+
     result = make_result()
     ray.shutdown()
     return result
