@@ -101,6 +101,9 @@ def run_bench() -> dict:
             "metric": "tokens_encode_throughput",
             "value": round(t_encode, 3),
             "unit": "sec",
+            # co-tenant load context: this box swings wall-times 3-15x in
+            # waves (BASELINE.md); loadavg lets a reader judge the window
+            "loadavg": [round(x, 1) for x in os.getloadavg()],
             "queries": {k: round(v, 3) for k, v in queries.items()},
             "sf": os.path.basename(os.path.normpath(SF_DIR)),
             "num_cpus": NUM_CPUS,
@@ -231,6 +234,7 @@ def run_scaling() -> None:
         f"tokens_per_sec_{hi}": r_hi["tokens_per_sec"],
         "bytes_per_token": r_hi["bytes_per_token"],
         "sf": r_hi["sf"],
+        "loadavg": [round(x, 1) for x in os.getloadavg()],
     }))
 
 
