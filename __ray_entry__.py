@@ -701,6 +701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_distinct": lambda sf_dir: stats.windowed_distinct(
             _read(sf_dir, "events", columns=["ts", "user_id"])),
         "bm25_index_search": _bm25_index_search,
+        "profile_documents": lambda sf_dir: stats.profile_table(
+            _read(sf_dir, "documents")),
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -1066,6 +1068,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
             " WHERE l_orderkey IN (SELECT o_orderkey FROM orders"
             "   WHERE o_totalprice > 150000)"
+        ),
+        "profile_documents": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col, count(*) AS n_rows,"
+                f" count(*) - count({c}) AS n_nulls,"
+                f" count(DISTINCT {c}) AS n_distinct FROM documents"
+                for c in ("doc_id", "text", "lang", "source", "n_chars"))
         ),
         "windowed_distinct": (
             "SELECT date_trunc('hour', ts) AS window_start,"

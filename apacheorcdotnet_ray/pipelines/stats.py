@@ -695,3 +695,36 @@ def windowed_distinct(ds: rd.Dataset, ts_col: str = "ts",
 
     return _grouped_map(ds.map_batches(partial, batch_format="pyarrow"),
                         ["window_start"], reduce_part)
+
+
+def profile_table(ds: rd.Dataset, columns: list[str] | None = None) -> pa.Table:
+    """Data-quality profile: one row per column with (n_rows, n_nulls,
+    n_distinct) — the pre-ingestion report a curation pipeline runs before
+    committing to a schema. Null counts come from ONE streaming pass of
+    per-batch validity partials (Arrow null_count is metadata, no value
+    scan); exact distincts reuse distinct_count's unique-first bounded
+    shuffle per column, so nothing row-sized ever reaches the driver.
+    Ray's projection pushdown prunes each distinct pass to its one column."""
+    cols = columns or list(ds.schema().names)
+
+    def null_partial(batch: pa.Table) -> pa.Table:
+        row = {"_rows": pa.array([batch.num_rows], type=pa.int64())}
+        for i, c in enumerate(cols):
+            row[f"_n{i}"] = pa.array([batch.column(c).null_count],
+                                     type=pa.int64())
+        return pa.table(row)
+
+    agg = ds.map_batches(null_partial, batch_format="pyarrow") \
+        .sum(["_rows"] + [f"_n{i}" for i in range(len(cols))])
+    n_rows = int(agg["sum(_rows)"])
+    distincts = [
+        int(distinct_count(ds.select_columns([c]), c)["n_distinct"][0].as_py())
+        for c in cols
+    ]
+    return pa.table({
+        "col": pa.array(cols, type=pa.string()),
+        "n_rows": pa.array([n_rows] * len(cols), type=pa.int64()),
+        "n_nulls": pa.array([int(agg[f"sum(_n{i})"]) for i in range(len(cols))],
+                            type=pa.int64()),
+        "n_distinct": pa.array(distincts, type=pa.int64()),
+    })

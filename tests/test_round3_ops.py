@@ -152,3 +152,17 @@ def test_text_index_matches_streaming_bm25(ray_session, tmp_path):
         # contain any term; the index path only returns matching docs
         # (here every doc matches 'alpha'/'delta', so the sets coincide)
         assert ai == bi[:len(ai)]
+
+
+def test_profile_table_nulls_and_distincts(ray_session):
+    from apacheorcdotnet_ray.pipelines.stats import profile_table
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([1, 1, 2, None, 3], type=pa.int64()),
+        "b": pa.array(["x", None, None, "x", "y"]),
+    })).repartition(3)
+    rows = {r["col"]: r for r in profile_table(ds).to_pylist()}
+    assert rows["a"]["n_rows"] == 5 and rows["b"]["n_rows"] == 5
+    assert rows["a"]["n_nulls"] == 1 and rows["b"]["n_nulls"] == 2
+    assert rows["a"]["n_distinct"] == 3   # nulls excluded, like SQL
+    assert rows["b"]["n_distinct"] == 2
