@@ -91,12 +91,17 @@ def train_centroids(emb_ds: rd.Dataset, n_centroids: int = 16, iters: int = 10,
 def ivf_build(
     emb_ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    quantize: bool = False,
 ) -> np.ndarray:
     """Materialize an IVF index: vectors written as parquet PARTITIONED BY
     their nearest-centroid bucket, centroids saved alongside. Search then
     reads only the probed buckets — the 'prune at the read' layout that makes
     ANN viable at corpus scale (a query touches n_probe/n_centroids of the
-    data). Returns the centroid matrix."""
+    data). ``quantize=True`` stores L2-normalized vectors as int8
+    (round(v*127) — components of unit vectors are in [-1, 1]), shrinking
+    the index ~8x vs float64 list storage; search dequantizes per batch, so
+    scores are approximate to ~1/127 per component (recall stays high, the
+    standard scalar-quantization trade). Returns the centroid matrix."""
     import os
 
     cent = train_centroids(emb_ds, n_centroids, emb_col=emb_col)
@@ -107,11 +112,20 @@ def ivf_build(
         cm = ray.get(cent_ref)
         m = _normalize(_to_matrix(batch.column(emb_col)))
         bucket = np.argmax(m @ cm.T, axis=1).astype(np.int32)
-        return batch.append_column("bucket", pa.array(bucket))
+        out = batch
+        if quantize:
+            q = np.clip(np.round(m * 127.0), -127, 127).astype(np.int8)
+            qcol = pa.FixedSizeListArray.from_arrays(
+                pa.array(q.ravel(), type=pa.int8()), q.shape[1])
+            out = pa.table({id_col: batch.column(id_col), emb_col: qcol})
+        return out.append_column("bucket", pa.array(bucket))
 
     emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["bucket"])
     np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    if quantize:
+        with open(os.path.join(index_dir, "quantized"), "w") as f:
+            f.write("int8")
     return cent
 
 

@@ -44,3 +44,36 @@ def test_ivf_index_build_and_search(ray_session, tmp_path):
     res = similarity.ivf_search(idx, q[None, :], k=5, n_probe=3).to_pydict()
     assert res["vec_id"][0] == 99  # query vector's own bucket always probed first
     assert len(res["vec_id"]) == 5
+
+
+def test_ivf_quantized_index_recall(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+
+    from apacheorcdotnet_ray.pipelines.similarity import ivf_build, ivf_search
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 64  # wide enough that vector payload dominates parquet overhead
+    m = rng.normal(size=(n, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in m],
+                              type=pa.list_(pa.float64())),
+    })).repartition(4)
+    fdir, qdir = str(tmp_path / "f"), str(tmp_path / "q")
+    ivf_build(ds, fdir, n_centroids=8)
+    ivf_build(ds, qdir, n_centroids=8, quantize=True)
+    q = m[3]
+    full = [r["vec_id"] for r in ivf_search(fdir, q[None, :], k=10).to_pylist()]
+    quant = [r["vec_id"] for r in ivf_search(qdir, q[None, :], k=10).to_pylist()]
+    # int8 scalar quantization: top-1 must survive, recall@10 stays high
+    assert quant[0] == full[0] == 3
+    assert len(set(full) & set(quant)) >= 8
+    # the quantized index is materially smaller on disk
+
+    def dir_bytes(p):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(p) for f in fs)
+
+    assert dir_bytes(qdir) < 0.55 * dir_bytes(fdir)
