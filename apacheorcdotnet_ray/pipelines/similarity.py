@@ -132,9 +132,18 @@ def ivf_build(
 def ivf_search(
     index_dir: str, query_vecs: np.ndarray, k: int = 10, n_probe: int = 4,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    refine_ds: rd.Dataset | None = None, refine_factor: int = 4,
 ) -> pa.Table:
     """Search a materialized IVF index: only the n_probe nearest buckets'
-    parquet partitions are read at all (partition pruning at the source)."""
+    parquet partitions are read at all (partition pruning at the source).
+
+    ``refine_ds`` enables the standard quantized-retrieve + exact-rerank
+    pattern: the (possibly int8) index supplies ``k * refine_factor``
+    candidates per query, then their EXACT vectors are point-looked-up from
+    ``refine_ds`` (a tiny ``pc.is_in`` filter — candidates, not the corpus,
+    cross the wire) and the final top-k is ranked on true cosines. With
+    ``n_probe`` covering every bucket this makes quantized search exact up
+    to the candidate cutoff."""
     import glob
     import os
 
@@ -147,7 +156,32 @@ def ivf_search(
     from ..sources.parquet import read_parquet_clean
 
     ds = read_parquet_clean(paths, columns=[id_col, emb_col])
-    return brute_force_topk(ds, q, k, id_col=id_col, emb_col=emb_col)
+    if refine_ds is None:
+        return brute_force_topk(ds, q, k, id_col=id_col, emb_col=emb_col)
+
+    import pyarrow.compute as pc
+
+    cand = brute_force_topk(ds, q, k * refine_factor, id_col=id_col, emb_col=emb_col)
+    cand_ids = pc.unique(cand.column("vec_id"))
+    ids_ref = ray.put(cand_ids)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        hit = batch.select([id_col, emb_col])
+        return hit.filter(pc.is_in(hit.column(id_col), value_set=ray.get(ids_ref)))
+
+    exact = pa.concat_tables(
+        ray.get(refine_ds.map_batches(lookup, batch_format="pyarrow")
+                .to_arrow_refs()))
+    ids = exact.column(id_col).to_numpy()
+    m = _normalize(_to_matrix(exact.column(emb_col)))
+    sims = q @ m.T  # (n_query, n_candidates) — candidates only, tiny
+    rows = []
+    for qi in range(sims.shape[0]):
+        order = np.lexsort((ids, -sims[qi]))[:k]
+        for rank, j in enumerate(order):
+            rows.append({"query_idx": qi, "rank": rank,
+                         "vec_id": int(ids[j]), "cosine": float(sims[qi, j])})
+    return pa.Table.from_pylist(rows)
 
 
 def ivf_topk(emb_ds: rd.Dataset, query_vecs: np.ndarray, k: int = 10,

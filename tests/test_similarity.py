@@ -70,6 +70,11 @@ def test_ivf_quantized_index_recall(ray_session, tmp_path):
     # int8 scalar quantization: top-1 must survive, recall@10 stays high
     assert quant[0] == full[0] == 3
     assert len(set(full) & set(quant)) >= 8
+    # quantized retrieve + exact rerank (all buckets probed) = exact result
+    refined = ivf_search(qdir, q[None, :], k=10, n_probe=8, refine_ds=ds)
+    exact = ivf_search(fdir, q[None, :], k=10, n_probe=8)
+    assert ([r["vec_id"] for r in refined.to_pylist()]
+            == [r["vec_id"] for r in exact.to_pylist()])
     # the quantized index is materially smaller on disk
 
     def dir_bytes(p):
