@@ -102,6 +102,16 @@ def _ann_ivf_quantized(sf_dir: str):
                                  refine_ds=_read(sf_dir, "embeddings")).select(["vec_id"])
 
 
+def _embedding_centroids(sf_dir: str):
+    """Per-label element-wise embedding mean, exploded to (label, pos, val)
+    so DuckDB can check it value-exactly (rounded to absorb ulp-order
+    drift between the two engines' float summation)."""
+    from apacheorcdotnet_ray.pipelines import cluster
+
+    return cluster.group_vector_mean(
+        _read(sf_dir, "embeddings", columns=["embedding", "label"]))
+
+
 def _footer_stats_lineitem(sf_dir: str):
     """Aggregate pushdown to metadata: the stats_lineitem answer computed
     ONLY from stripe footers (tail reads) — no data decompressed."""
@@ -725,6 +735,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": lambda sf_dir: stats.profile_table(
             _read(sf_dir, "documents")),
         "ann_ivf_quantized": _ann_ivf_quantized,
+        "knn_join": lambda sf_dir: similarity.knn_join(
+            _read(sf_dir, "embeddings"), k=1).select_columns(["vec_id", "nn_id"]),
+        "embedding_centroids": _embedding_centroids,
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -1457,6 +1470,22 @@ def oracle_sql() -> dict[str, str]:
             "   (SELECT embedding FROM embeddings"
             "    WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC, vec_id"
             " LIMIT 10"
+        ),
+        # DOUBLE[] casts force f64 cosine (matching numpy); ties break on id
+        "knn_join": (
+            "SELECT vec_id, nn_id FROM ("
+            " SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,"
+            "  ROW_NUMBER() OVER (PARTITION BY a.vec_id"
+            "   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+            "     CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)"
+            " WHERE rn = 1"
+        ),
+        "embedding_centroids": (
+            "SELECT label, pos, round(avg(val), 6) AS centroid_val FROM ("
+            " SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,"
+            "  unnest(generate_series(1, len(embedding))) AS pos"
+            " FROM embeddings) GROUP BY label, pos"
         ),
         # quantized IVF probes every bucket, so int8 rounding is the only
         # approximation; the top-10 id SET survives it on this data and the

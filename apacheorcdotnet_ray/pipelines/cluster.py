@@ -100,6 +100,51 @@ def kmeans(
     })
 
 
+def group_vector_mean(
+    emb_ds: rd.Dataset, group_col: str = "label",
+    emb_col: str = "embedding", round_to: int | None = 6,
+) -> pa.Table:
+    """Per-group element-wise embedding mean (class centroids / mean
+    pooling). One streaming pass: each batch emits one packed
+    (group, d-float64-sums, count) row per group it contains, so the driver
+    reduce is O(n_batches * n_groups * d) bytes — never a vector column.
+    Returns exploded rows (group, pos 1-based, centroid_val), the
+    SQL-comparable shape; ``round_to`` absorbs summation-order ulp drift
+    between engines (set None for raw doubles)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        m = _to_matrix(batch.column(emb_col))
+        uniq, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(uniq),
+            "sums": pa.array([s.tobytes() for s in sums], type=pa.binary()),
+            "n": pa.array(counts),
+        })
+
+    rows = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in rows:
+        s = np.frombuffer(r["sums"], dtype=np.float64)
+        if r[group_col] in acc:
+            acc[r[group_col]][0] += s
+            acc[r[group_col]][1] += r["n"]
+        else:
+            acc[r[group_col]] = [s.copy(), r["n"]]
+    groups = sorted(acc)
+    d = len(next(iter(acc.values()))[0]) if acc else 0
+    mean = np.concatenate([acc[g][0] / acc[g][1] for g in groups]) if acc else np.array([])
+    if round_to is not None:
+        mean = np.round(mean, round_to)
+    return pa.table({
+        group_col: pa.array(np.repeat(np.array(groups, dtype=object), d)),
+        "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(groups))),
+        "centroid_val": pa.array(mean, type=pa.float64()),
+    })
+
+
 def kmeans_assign(
     emb_ds: rd.Dataset, k: int = 8,
     id_col: str = "vec_id", emb_col: str = "embedding",

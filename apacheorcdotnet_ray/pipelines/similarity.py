@@ -184,6 +184,52 @@ def ivf_search(
     return pa.Table.from_pylist(rows)
 
 
+def knn_join(
+    emb_ds: rd.Dataset, k: int = 1,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> rd.Dataset:
+    """For EVERY vector, its k nearest OTHER vectors by cosine — the kNN
+    self-join used for near-dup mining and retrieval-eval ground truth.
+
+    Exact variant: the normalized corpus matrix is broadcast ONCE
+    (``ray.put``, zero-copy reads per task) and each batch scores itself
+    against it in one matmul — one streaming pass, no shuffle, no driver
+    collection of results. The N×D broadcast is the documented small-N
+    trade (fine to ~1M×1k f32 = 4 GB object-store resident); past that,
+    bucket with ``ivf_build`` and run this per probed partition (the
+    ``dedup_embedding_lsh`` pattern) accepting approximate recall.
+    Returns (vec_id, rank, nn_id, cosine) with rank 0 = nearest.
+    """
+    refs = emb_ds.select_columns([id_col, emb_col]).to_arrow_refs()
+    corpus = pa.concat_tables(ray.get(refs))
+    all_ids = corpus.column(id_col).to_numpy()
+    cm = _normalize(_to_matrix(corpus.column(emb_col)))
+    state = ray.put((all_ids, cm))
+
+    def nn(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(state)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        sims = m @ m_all.T  # (batch, N)
+        sims[ids[:, None] == ids_all[None, :]] = -np.inf  # mask self
+        kk = min(k, sims.shape[1] - 1)
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_s = np.take_along_axis(sims, top, axis=1)
+        # order the k candidates: cosine desc, id asc (deterministic)
+        order = np.lexsort((ids_all[top], -rows_s), axis=1)
+        top = np.take_along_axis(top, order, axis=1)
+        rows_s = np.take_along_axis(rows_s, order, axis=1)
+        n = len(ids)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, kk)),
+            "rank": pa.array(np.tile(np.arange(kk, dtype=np.int64), n)),
+            "nn_id": pa.array(ids_all[top].ravel()),
+            "cosine": pa.array(rows_s.ravel()),
+        })
+
+    return emb_ds.map_batches(nn, batch_format="pyarrow")
+
+
 def ivf_topk(emb_ds: rd.Dataset, query_vecs: np.ndarray, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", emb_col: str = "embedding") -> pa.Table:

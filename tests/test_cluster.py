@@ -54,3 +54,19 @@ def test_seed_centroids_order_independent(ray_session):
     c1 = cluster.seed_centroids(rd.from_arrow(t).repartition(4), 4)
     c2 = cluster.seed_centroids(rd.from_arrow(shuffled).repartition(4), 4)
     assert np.allclose(c1, c2)
+
+
+def test_group_vector_mean_matches_numpy(ray_session):
+    t, m = _blob_ds(seed=7)
+    labels = pa.array((t["vec_id"].to_numpy() % 3).astype(np.int32))
+    t2 = t.append_column("label", labels)
+    out = cluster.group_vector_mean(
+        rd.from_arrow(t2).repartition(4), round_to=None).to_pandas()
+    lab = labels.to_numpy()
+    for g in range(3):
+        got = out[out["label"] == g].sort_values("pos")["centroid_val"].values
+        want = m[lab == g].astype(np.float64).mean(axis=0)
+        assert np.allclose(got, want, rtol=1e-12)
+    # exploded shape: one row per (group, dim), pos is 1-based
+    assert len(out) == 3 * m.shape[1]
+    assert out["pos"].min() == 1 and out["pos"].max() == m.shape[1]

@@ -82,3 +82,28 @@ def test_ivf_quantized_index_recall(ray_session, tmp_path):
                    for r, _, fs in os.walk(p) for f in fs)
 
     assert dir_bytes(qdir) < 0.55 * dir_bytes(fdir)
+
+
+def test_knn_join_matches_local(ray_session):
+    import numpy as np
+
+    from apacheorcdotnet_ray.pipelines.similarity import knn_join
+
+    rng = np.random.default_rng(11)
+    n, d = 120, 12
+    m = rng.normal(size=(n, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in m],
+                              type=pa.list_(pa.float64())),
+    })).repartition(4)
+    out = knn_join(ds, k=2).to_pandas().sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True)
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    np.fill_diagonal(sims, -np.inf)
+    for i in range(n):
+        row = out[out["vec_id"] == i]
+        expect = np.argsort(-sims[i])[:2]
+        assert row["nn_id"].tolist() == expect.tolist()
+    assert len(out) == 2 * n
