@@ -102,6 +102,33 @@ def _ann_ivf_quantized(sf_dir: str):
                                  refine_ds=_read(sf_dir, "embeddings")).select(["vec_id"])
 
 
+def _quantile_sketch_bound(sf_dir: str):
+    """One-pass weighted-sample quantile sketch checked against its rank
+    guarantee: the exact rank of the estimate (one count pass) must sit
+    within ~n/(2k) of the target — the hll_error_bound pattern, turning a
+    sketch into a checkable correctness row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    est = stats.quantile_sketch(ds, "l_extendedprice", q=0.5, k=256)
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("l_extendedprice")
+        return pa.table({
+            "le": pa.array([pc.sum(pc.less_equal(col, est)).as_py() or 0]),
+            "n": pa.array([len(col) - col.null_count]),
+        })
+
+    rows = _read(sf_dir, "lineitem", columns=["l_extendedprice"]).map_batches(
+        rank_partial, batch_format="pyarrow").take_all()
+    le, n = sum(r["le"] for r in rows), sum(r["n"] for r in rows)
+    ok = abs(le / n - 0.5) <= 0.01  # theory: 1/(2*256) + stride slack
+    return pa.table({"within_bound": pa.array([ok], type=pa.bool_())})
+
+
 def _embedding_centroids(sf_dir: str):
     """Per-label element-wise embedding mean, exploded to (label, pos, val)
     so DuckDB can check it value-exactly (rounded to absorb ulp-order
@@ -738,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": lambda sf_dir: similarity.knn_join(
             _read(sf_dir, "embeddings"), k=1).select_columns(["vec_id", "nn_id"]),
         "embedding_centroids": _embedding_centroids,
+        "quantile_sketch_bound": _quantile_sketch_bound,
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -1077,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM pool a JOIN pool b ON a.text = b.text AND a.doc_id < b.doc_id"
         ),
         "hll_error_bound": "SELECT TRUE AS within_3sigma",
+        "quantile_sketch_bound": "SELECT TRUE AS within_bound",
         # CUBE key columns are non-null in the data, so the grouping-set
         # NULLs are unambiguous without GROUPING()
         "group_cube": (

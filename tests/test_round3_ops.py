@@ -166,3 +166,19 @@ def test_profile_table_nulls_and_distincts(ray_session):
     assert rows["a"]["n_nulls"] == 1 and rows["b"]["n_nulls"] == 2
     assert rows["a"]["n_distinct"] == 3   # nulls excluded, like SQL
     assert rows["b"]["n_distinct"] == 2
+
+
+def test_quantile_sketch_rank_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    rng = np.random.default_rng(4)
+    v = rng.lognormal(3, 1, size=50_000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)})).repartition(8)
+    for q in (0.1, 0.5, 0.9):
+        est = stats.quantile_sketch(ds, "x", q=q, k=256)
+        rank = float((v <= est).mean())
+        assert abs(rank - q) <= 0.01, (q, rank)
