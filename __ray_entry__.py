@@ -331,6 +331,19 @@ def _predicate_scan(sf_dir: str):
     )
 
 
+def _predicate_scan_dict(sf_dir: str):
+    """String predicate evaluated ON the dictionary encoding: one compare
+    over the tiny sorted dict + a fancy-index over the id stream — row
+    strings never materialize for the filter (columns.py
+    column_predicate_mask)."""
+    from apacheorcdotnet_ray.pipelines.encode import decode_dataset, encode_corpus
+
+    out = _out_dir(sf_dir, "rt-documents")
+    encode_corpus([_table_path(sf_dir, "documents")], out)
+    return decode_dataset(out, columns=["doc_id", "source", "n_chars"],
+                          predicate=("source", "==", "src3"))
+
+
 def _predicate_scan_stride(sf_dir: str):
     """Per-stride ROW_INDEX pushdown: stripes encode with row_index_stride
     so the predicate decompresses only qualifying 10k-row strides inside
@@ -766,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings"), k=1).select_columns(["vec_id", "nn_id"]),
         "embedding_centroids": _embedding_centroids,
         "quantile_sketch_bound": _quantile_sketch_bound,
+        "predicate_scan_dict": _predicate_scan_dict,
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -1106,6 +1120,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_error_bound": "SELECT TRUE AS within_3sigma",
         "quantile_sketch_bound": "SELECT TRUE AS within_bound",
+        "predicate_scan_dict": (
+            "SELECT doc_id, source, n_chars FROM documents"
+            " WHERE source = 'src3'"
+        ),
         # CUBE key columns are non-null in the data, so the grouping-set
         # NULLs are unambiguous without GROUPING()
         "group_cube": (

@@ -25,7 +25,8 @@ import zlib
 
 import pyarrow as pa
 
-from .columns import Stream, decode_column, encode_column
+from .columns import (Stream, column_predicate_mask, decode_column,
+                      encode_column)
 from .config import EncodeConfig
 from .framing import compress, decompress
 from .stats import maybe_satisfies, merge_stats
@@ -382,16 +383,13 @@ def decode_stripe(
             prm = m["pos_params"][si] if "pos_params" in m else m["params"]
             return Stream(m["col"], m["kind"], cdc, data, m["pos_n"][si], prm)
 
-        def decode_field(field_):
+        def field_chunks(field_):
             metas = col_metas(field_.name)
             states = [dict() for _ in metas]  # per-stream block cache
-            chunks = []
             for si in sel:
                 streams = [s for m, st in zip(metas, states)
                            if (s := stride_stream(m, si, st)) is not None]
-                chunks.append(decode_column(field_, streams, stride_rows[si]))
-            return pa.chunked_array(chunks, type=field_.type) \
-                if chunks else pa.chunked_array([], type=field_.type)
+                yield streams, stride_rows[si]
     elif stride_rows is not None:
         # v3/v4 strided layout: independently framed per-stride segments
         sel = (range_sel if range_sel is not None
@@ -402,21 +400,33 @@ def decode_stripe(
             io_stats["strides_total"] = len(stride_rows)
             io_stats["strides_read"] = len(sel)
 
-        def decode_field(field_):
+        def field_chunks(field_):
             by_stride: dict[int, list[dict]] = {}
             for m in col_metas(field_.name):
                 by_stride.setdefault(m["stride"], []).append(m)
-            chunks = [
-                decode_column(field_, [make_stream(m) for m in by_stride.get(si, [])],
-                              stride_rows[si])
-                for si in sel
-            ]
-            return pa.chunked_array(chunks, type=field_.type) \
-                if chunks else pa.chunked_array([], type=field_.type)
+            for si in sel:
+                yield ([make_stream(m) for m in by_stride.get(si, [])],
+                       stride_rows[si])
     else:
-        def decode_field(field_):
-            streams = [make_stream(m) for m in col_metas(field_.name)]
-            return decode_column(field_, streams, n_rows)
+        def field_chunks(field_):
+            yield [make_stream(m) for m in col_metas(field_.name)], n_rows
+
+    def decode_field(field_):
+        chunks = [decode_column(field_, s, n) for s, n in field_chunks(field_)]
+        return pa.chunked_array(chunks, type=field_.type) \
+            if chunks else pa.chunked_array([], type=field_.type)
+
+    def predicate_mask_field(field_, op, lit):
+        # dictionary fast path: one compare over the tiny dict per chunk +
+        # a fancy-index over ids — row strings never materialize
+        out = []
+        for s, n in field_chunks(field_):
+            m = column_predicate_mask(field_, s, n, op, lit)
+            if m is None:
+                return None
+            out.append(m)
+        return pa.chunked_array(out, type=pa.bool_()) \
+            if out else pa.chunked_array([], type=pa.bool_())
 
     proj = [f for f in schema if columns is None or f.name in columns]
     out_schema = pa.schema(proj)
@@ -436,15 +446,22 @@ def decode_stripe(
 
         for col, op, lit in preds:
             pred_field = next(f for f in proj if f.name == col)
+            m = None
             if col not in decoded:
-                decoded[col] = decode_field(pred_field)
-            try:
-                # compare_mask casts the literal to the column type when no
-                # direct kernel exists (ISO string vs timestamp/date column)
-                m = compare_mask(decoded[col], op, lit)
-            except (pa.ArrowInvalid, pa.ArrowTypeError,
-                    pa.ArrowNotImplementedError, TypeError, KeyError):
-                continue  # incomparable literal/op → this term can't refine
+                m = predicate_mask_field(pred_field, op, lit)
+                if m is not None and io_stats is not None:
+                    io_stats["dict_masked_cols"] = \
+                        io_stats.get("dict_masked_cols", 0) + 1
+            if m is None:
+                if col not in decoded:
+                    decoded[col] = decode_field(pred_field)
+                try:
+                    # compare_mask casts the literal to the column type when
+                    # no direct kernel exists (ISO string vs temporal column)
+                    m = compare_mask(decoded[col], op, lit)
+                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError, TypeError, KeyError):
+                    continue  # incomparable literal/op → can't refine
             mask = m if mask is None else pc.and_kleene(mask, m)
             if not pc.any(mask).as_py():
                 return out_schema.empty_table()

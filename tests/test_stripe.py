@@ -565,3 +565,43 @@ def test_wide_16_column_nullable_roundtrip():
     })
     assert len(t.column_names) == 16
     roundtrip_table(t)
+
+
+def test_dict_predicate_mask_fast_path():
+    """String equality on a dict-encoded column is evaluated against the
+    dictionary (io_stats dict_masked_cols), and matches the decode+filter
+    answer exactly — including null rows and strided layouts."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    n = 25_000
+    cats = np.array([f"src{i}" for i in range(6)])
+    vals = cats[rng.integers(0, 6, n)].astype(object)
+    vals[rng.random(n) < 0.03] = None  # nulls → PRESENT stream
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(vals, type=pa.string()),
+    })
+    for cfg in (EncodeConfig(), EncodeConfig(row_index_stride=4096)):
+        buf, _ = encode_stripe(t, cfg)
+        st = {}
+        out = decode_stripe(buf, predicate=("source", "==", "src3"), io_stats=st)
+        assert st.get("dict_masked_cols") == 1, st
+        want = t.filter(pa.compute.equal(t["source"], "src3"))
+        assert out["k"].to_pylist() == want["k"].to_pylist()
+        # range op works on the sorted dictionary too
+        st2 = {}
+        out2 = decode_stripe(buf, predicate=("source", ">=", "src4"), io_stats=st2)
+        assert st2.get("dict_masked_cols") == 1
+        want2 = t.filter(pa.compute.greater_equal(t["source"], "src4"))
+        assert out2["k"].to_pylist() == want2["k"].to_pylist()
+    # high-cardinality (direct-encoded) column falls back, no counter
+    t3 = pa.table({
+        "k": pa.array(np.arange(2000, dtype=np.int64)),
+        "u": pa.array([f"unique-{i:08x}" for i in range(2000)]),
+    })
+    buf3, _ = encode_stripe(t3)
+    st3 = {}
+    out3 = decode_stripe(buf3, predicate=("u", "==", "unique-000000ff"), io_stats=st3)
+    assert "dict_masked_cols" not in st3
+    assert out3["k"].to_pylist() == [255]
