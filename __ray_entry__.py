@@ -102,6 +102,29 @@ def _ann_ivf_quantized(sf_dir: str):
                                  refine_ds=_read(sf_dir, "embeddings")).select(["vec_id"])
 
 
+def _dedup_incremental(sf_dir: str):
+    """Ingestion-time dedup: the corpus (source != src5) is fingerprint-
+    indexed ONCE into bucket-partitioned parquet; the incoming batch
+    (source == src5) probes only the buckets its hashes fall in. The
+    oracle is the equivalent prefix-match EXISTS."""
+    import pyarrow.compute as pc
+
+    from apacheorcdotnet_ray.pipelines import dedup
+
+    idx = _out_dir(sf_dir, "fp-index")
+    done = os.path.join(idx, "_built")  # marker: dir alone may be half-built
+    if not os.path.exists(done):
+        corpus = _read(sf_dir, "documents", columns=["doc_id", "source", "text"]) \
+            .map_batches(lambda t: t.filter(pc.not_equal(t.column("source"), "src5")),
+                         batch_format="pyarrow")
+        dedup.build_fingerprint_index(corpus, idx)
+        open(done, "w").close()
+    incoming = _read(sf_dir, "documents", columns=["doc_id", "source", "text"]) \
+        .map_batches(lambda t: t.filter(pc.equal(t.column("source"), "src5")),
+                     batch_format="pyarrow")
+    return dedup.dedup_against_index(incoming, idx).select(["doc_id"])
+
+
 def _quantile_sketch_bound(sf_dir: str):
     """One-pass weighted-sample quantile sketch checked against its rank
     guarantee: the exact rank of the estimate (one count pass) must sit
@@ -780,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _embedding_centroids,
         "quantile_sketch_bound": _quantile_sketch_bound,
         "predicate_scan_dict": _predicate_scan_dict,
+        "dedup_incremental": _dedup_incremental,
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -1123,6 +1147,11 @@ def oracle_sql() -> dict[str, str]:
         "predicate_scan_dict": (
             "SELECT doc_id, source, n_chars FROM documents"
             " WHERE source = 'src3'"
+        ),
+        "dedup_incremental": (
+            "SELECT d.doc_id FROM documents d WHERE d.source = 'src5'"
+            " AND EXISTS (SELECT 1 FROM documents c WHERE c.source <> 'src5'"
+            "  AND substr(c.text, 1, 100) = substr(d.text, 1, 100))"
         ),
         # CUBE key columns are non-null in the data, so the grouping-set
         # NULLs are unambiguous without GROUPING()

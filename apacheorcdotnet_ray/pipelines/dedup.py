@@ -937,3 +937,93 @@ def dup_ngram_spans(
         })
 
     return joined.map_batches(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: fingerprint index on disk, probed by ingestion batches
+
+
+def _prefix_fingerprints(batch: pa.Table, id_col: str, text_col: str,
+                         prefix_len: int) -> tuple[pa.Array, np.ndarray]:
+    import polars as pl
+    import pyarrow.compute as pc
+
+    txt = batch.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    pref = pc.utf8_slice_codeunits(txt, 0, prefix_len)
+    h = pl.from_arrow(pa.table({"p": pref}))["p"].hash(seed=7) \
+        .to_numpy().astype(np.uint64)
+    return batch.column(id_col), h
+
+
+def build_fingerprint_index(
+    ds: rd.Dataset, index_dir: str, prefix_len: int = 100,
+    n_buckets: int = 64, id_col: str = "doc_id", text_col: str = "text",
+) -> None:
+    """Materialize an exact-dup fingerprint index: one xxhash of each doc's
+    first ``prefix_len`` chars, written as (fp, doc_id) parquet PARTITIONED
+    by fp's bucket. Ingestion-time dedup then probes only the buckets its
+    batch hashes into — the corpus is indexed once and never re-scanned."""
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        ids, h = _prefix_fingerprints(batch, id_col, text_col, prefix_len)
+        return pa.table({
+            id_col: ids,
+            "fp": pa.array(h.view(np.int64)),
+            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+        })
+
+    ds.map_batches(fp_batch, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["bucket"])
+
+
+def dedup_against_index(
+    new_ds: rd.Dataset, index_dir: str, prefix_len: int = 100,
+    n_buckets: int = 64, id_col: str = "doc_id", text_col: str = "text",
+) -> pa.Table:
+    """Incremental dedup: which incoming docs already exist in the indexed
+    corpus (by prefix fingerprint)? The INCOMING batch is the small side of
+    ingestion, so its distinct fingerprints collect to the driver and
+    broadcast; the index — the 100 TB side — is read ONLY in the buckets
+    those fingerprints hash to, filtered by ``pc.is_in`` per batch. Returns
+    the hit rows' (doc_id, fp), never shipping corpus text anywhere."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+
+    parts = [_prefix_fingerprints(b, id_col, text_col, prefix_len)
+             for b in new_ds.map_batches(
+                 lambda t: t.select([id_col, text_col]),
+                 batch_format="pyarrow").iter_batches(
+                     batch_format="pyarrow", batch_size=65536)]
+    def _flat(col) -> pa.Array:
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    inc_ids = (pa.concat_arrays([_flat(i) for i, _ in parts])
+               if parts else pa.array([], type=pa.int64()))
+    inc_fp = (np.concatenate([h for _, h in parts]) if parts
+              else np.empty(0, dtype=np.uint64))
+    fps = np.unique(inc_fp)
+    buckets = sorted({int(b) for b in (fps % np.uint64(n_buckets))})
+    paths = [p for b in buckets
+             for p in glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))]
+    if not paths or not len(fps):
+        return pa.table({id_col: pa.array([], inc_ids.type),
+                         "fp": pa.array([], type=pa.int64())})
+    from ..sources.parquet import read_parquet_clean
+
+    fset = ray.put(pa.array(fps.view(np.int64)))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        return batch.select(["fp"]).filter(
+            pc.is_in(batch.column("fp"), value_set=ray.get(fset)))
+
+    matched = pa.concat_tables(ray.get(
+        read_parquet_clean(paths, columns=["fp"])
+        .map_batches(probe, batch_format="pyarrow").to_arrow_refs()))
+    mset = np.unique(matched.column("fp").to_numpy())
+    hit = np.isin(inc_fp.view(np.int64), mset)
+    return pa.table({id_col: inc_ids.filter(pa.array(hit)),
+                     "fp": pa.array(inc_fp.view(np.int64)[hit])})

@@ -182,3 +182,34 @@ def test_quantile_sketch_rank_bound(ray_session):
         est = stats.quantile_sketch(ds, "x", q=q, k=256)
         rank = float((v <= est).mean())
         assert abs(rank - q) <= 0.01, (q, rank)
+
+
+def test_incremental_fingerprint_dedup(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import dedup
+
+    corpus_texts = [f"corpus doc {i} " + "w " * 60 for i in range(50)]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+        "text": pa.array(corpus_texts),
+    })).repartition(3)
+    idx = str(tmp_path / "fpidx")
+    dedup.build_fingerprint_index(corpus, idx, prefix_len=40, n_buckets=8)
+    # incoming: 2 copies of corpus docs (same prefix), 3 fresh docs
+    inc = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101, 102, 103, 104], type=pa.int64()),
+        "text": pa.array([corpus_texts[7], corpus_texts[33] + "tail differs",
+                          "fresh one " * 10, "fresh two " * 10,
+                          "fresh three " * 10]),
+    }))
+    hits = dedup.dedup_against_index(inc, idx, prefix_len=40, n_buckets=8)
+    assert sorted(hits["doc_id"].to_pylist()) == [100, 101]
+    # empty incoming → typed empty result
+    empty = dedup.dedup_against_index(
+        rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                "text": pa.array([], type=pa.string())})),
+        idx, prefix_len=40, n_buckets=8)
+    assert empty.num_rows == 0
