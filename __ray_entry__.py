@@ -804,6 +804,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch_bound": _quantile_sketch_bound,
         "predicate_scan_dict": _predicate_scan_dict,
         "dedup_incremental": _dedup_incremental,
+        "lag_delta": lambda sf_dir: stats.lag_delta(
+            _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])),
+        "row_number_global": lambda sf_dir: stats.row_number_global(
+            _read(sf_dir, "events", columns=["event_id", "value"]),
+            "value", "event_id"),
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -1152,6 +1157,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id FROM documents d WHERE d.source = 'src5'"
             " AND EXISTS (SELECT 1 FROM documents c WHERE c.source <> 'src5'"
             "  AND substr(c.text, 1, 100) = substr(d.text, 1, 100))"
+        ),
+        "lag_delta": (
+            "SELECT event_id, user_id,"
+            " CAST(epoch_ms(ts) - LAG(epoch_ms(ts)) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)"
+            " AS delta_ms FROM events"
+        ),
+        "row_number_global": (
+            "SELECT event_id, CAST(ROW_NUMBER() OVER ("
+            " ORDER BY value, event_id) AS BIGINT) AS rn FROM events"
         ),
         # CUBE key columns are non-null in the data, so the grouping-set
         # NULLs are unambiguous without GROUPING()

@@ -762,3 +762,67 @@ def quantile_sketch(ds: rd.Dataset, col: str, q: float = 0.5,
     cum = np.cumsum(ws[order])
     target = q * cum[-1]
     return float(vals[order][np.searchsorted(cum, target, side="left")])
+
+
+def lag_delta(
+    ds: rd.Dataset, user_col: str = "user_id", ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Per-user time-since-previous-event (the LAG window function):
+    delta_ms = ts - LAG(ts) OVER (PARTITION BY user ORDER BY ts, id), null
+    for each user's first event. Same bounded-hash-partition shape as
+    running_total: one vectorized sort + diff per partition, no per-user
+    Python."""
+    import numpy as np
+
+    from .dedup import _grouped_map
+
+    def lag(df):
+        df = df.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        ms = df[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        delta = np.empty(len(ms), dtype=np.float64)
+        delta[0] = np.nan
+        delta[1:] = ms[1:] - ms[:-1]
+        u = df[user_col].to_numpy()
+        delta[np.concatenate([[True], u[1:] != u[:-1]])] = np.nan
+        out = df[[id_col, user_col]].copy()
+        out["delta_ms"] = delta  # NaN→null via pandas nullable round-trip
+        out["delta_ms"] = out["delta_ms"].astype("Int64")
+        return out
+
+    return _grouped_map(
+        ds.select_columns([id_col, user_col, ts_col]), [user_col], lag)
+
+
+def row_number_global(
+    ds: rd.Dataset, col: str, id_col: str,
+) -> rd.Dataset:
+    """Deterministic global row numbering: rn = ROW_NUMBER() OVER
+    (ORDER BY col, id). One distributed sort (the unavoidable all-to-all
+    for a total order), then block row-counts — a handful of ints — come
+    back to the driver to compute per-block offsets, and each block stamps
+    offset + arange locally. The classic sort + zip-with-index; no block's
+    data ever moves twice."""
+    import numpy as np
+    import ray
+
+    sorted_refs = ds.select_columns([col, id_col]) \
+        .sort([col, id_col]).to_arrow_refs()
+
+    @ray.remote
+    def _count(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_count.remote(r) for r in sorted_refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+
+    @ray.remote
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "rn": pa.array(np.arange(off + 1, off + 1 + t.num_rows,
+                                     dtype=np.int64)),
+        })
+
+    stamped = [_stamp.remote(r, int(o)) for r, o in zip(sorted_refs, offsets)]
+    return rd.from_arrow_refs(stamped)

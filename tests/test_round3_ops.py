@@ -213,3 +213,39 @@ def test_incremental_fingerprint_dedup(ray_session, tmp_path):
                                 "text": pa.array([], type=pa.string())})),
         idx, prefix_len=40, n_buckets=8)
     assert empty.num_rows == 0
+
+
+def test_lag_delta_and_row_number(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines import stats
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "value": rng.normal(size=n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+
+    out = stats.lag_delta(ds).to_pandas().set_index("event_id").sort_index()
+    ref = df.sort_values(["user_id", "ts", "event_id"])
+    ref["delta_ms"] = ref.groupby("user_id")["ts"].diff().dt.total_seconds() * 1000
+    ref = ref.set_index("event_id").sort_index()
+    got = out["delta_ms"].astype("float64")
+    want = ref["delta_ms"]
+    assert ((got.isna() == want.isna()).all()
+            and np.allclose(got.dropna(), want.dropna()))
+
+    rn = stats.row_number_global(
+        rd.from_arrow(pa.Table.from_pandas(df[["event_id", "value"]]))
+        .repartition(5), "value", "event_id").to_pandas()
+    order = df.sort_values(["value", "event_id"])["event_id"].to_numpy()
+    expect = {eid: i + 1 for i, eid in enumerate(order)}
+    assert all(expect[e] == r for e, r in zip(rn["event_id"], rn["rn"]))
