@@ -125,6 +125,17 @@ def _dedup_incremental(sf_dir: str):
     return dedup.dedup_against_index(incoming, idx).select(["doc_id"])
 
 
+def _curate_end_to_end(sf_dir: str):
+    """The composed curation job: Gopher gate + repetition gate in one
+    streaming pass, then prefix-fingerprint dedup keeping the lowest
+    surviving id — the whole chain checked value-exactly against one
+    chained-CTE oracle."""
+    from apacheorcdotnet_ray.pipelines import curate
+
+    return curate.curate_pipeline(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _quantile_sketch_bound(sf_dir: str):
     """One-pass weighted-sample quantile sketch checked against its rank
     guarantee: the exact rank of the estimate (one count pass) must sit
@@ -809,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_number_global": lambda sf_dir: stats.row_number_global(
             _read(sf_dir, "events", columns=["event_id", "value"]),
             "value", "event_id"),
+        "curate_end_to_end": _curate_end_to_end,
         # --- (3) round-1 rows only ---
         "token_count_regex": lambda sf_dir: text.token_count_regex(
             _read(sf_dir, "documents", columns=["doc_id", "text"])),
@@ -1157,6 +1169,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id FROM documents d WHERE d.source = 'src5'"
             " AND EXISTS (SELECT 1 FROM documents c WHERE c.source <> 'src5'"
             "  AND substr(c.text, 1, 100) = substr(d.text, 1, 100))"
+        ),
+        "curate_end_to_end": (
+            "WITH base AS (SELECT doc_id, text,"
+            "   len(string_split(text, ' ')) AS nw, length(text) AS tl"
+            "   FROM documents),"
+            " top AS (SELECT doc_id, max(c) AS topc FROM"
+            "   (SELECT doc_id, w, count(*) AS c FROM"
+            "     (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+            "      FROM documents) GROUP BY doc_id, w) GROUP BY doc_id),"
+            " gpass AS (SELECT b.doc_id FROM base b JOIN top USING (doc_id)"
+            "  WHERE nw BETWEEN 30 AND 100000"
+            "   AND CAST(tl - (nw - 1) AS DOUBLE) / nw >= 2.5"
+            "   AND CAST(tl - (nw - 1) AS DOUBLE) / nw <= 10.0"
+            f"  AND ({stopword_terms}) >= 2"
+            "   AND CAST(topc AS DOUBLE) / nw <= 0.2),"
+            " w AS (SELECT doc_id, string_split(text, ' ') AS ws, text"
+            "   FROM documents),"
+            " sh AS (SELECT doc_id,"
+            "   CASE WHEN len(ws) < 3 THEN [text]"
+            "        ELSE list_transform(range(1, len(ws) - 1),"
+            "             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+            "   END AS s FROM w),"
+            " rpass AS (SELECT doc_id FROM sh"
+            "  WHERE CAST(len(s) - len(list_distinct(s)) AS DOUBLE) / len(s)"
+            "    <= 0.2),"
+            " surv AS (SELECT d.doc_id, substr(d.text, 1, 100) AS pfx,"
+            "   b.nw AS n_tok FROM documents d JOIN base b USING (doc_id)"
+            "  WHERE d.doc_id IN (SELECT doc_id FROM gpass)"
+            "   AND d.doc_id IN (SELECT doc_id FROM rpass))"
+            " SELECT s.doc_id, CAST(s.n_tok AS BIGINT) AS n_tok FROM surv s"
+            " WHERE s.doc_id = (SELECT min(s2.doc_id) FROM surv s2"
+            "   WHERE s2.pfx = s.pfx)"
         ),
         "lag_delta": (
             "SELECT event_id, user_id,"

@@ -152,27 +152,34 @@ def gopher_filter(
     convention (same as text.lang_id) so the SQL oracle is value-exact."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        txt = batch.column(text_col)
-        nw = word_counts(batch, text_col).cast(pa.int64()).to_numpy()
-        text_len = pc.utf8_length(txt).cast(pa.int64()).to_numpy()
-        mean_wl = (text_len - (nw - 1)).astype(np.float64) / nw
-        padded = pc.binary_join_element_wise(
-            pa.array([" "] * batch.num_rows), txt,
-            pa.array([" "] * batch.num_rows), "")
-        stop_hits = np.zeros(batch.num_rows, dtype=np.int64)
-        for w in STOPWORDS:
-            stop_hits += pc.count_substring(padded, f" {w} ").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-        top_frac = _top_word_counts(txt).astype(np.float64) / nw
-        keep = (
-            (nw >= min_words) & (nw <= max_words)
-            & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
-            & (stop_hits >= min_stop_hits)
-            & (top_frac <= max_top_word_frac)
-        )
+        keep = _gopher_keep(batch, text_col, min_words, max_words,
+                            min_mean_word_len, max_mean_word_len,
+                            min_stop_hits, max_top_word_frac)
         return batch.filter(pa.array(keep)).select([id_col])
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _gopher_keep(batch: pa.Table, text_col: str, min_words: int,
+                 max_words: int, min_mean_word_len: float,
+                 max_mean_word_len: float, min_stop_hits: int,
+                 max_top_word_frac: float) -> np.ndarray:
+    txt = batch.column(text_col)
+    nw = word_counts(batch, text_col).cast(pa.int64()).to_numpy()
+    text_len = pc.utf8_length(txt).cast(pa.int64()).to_numpy()
+    mean_wl = (text_len - (nw - 1)).astype(np.float64) / nw
+    padded = pc.binary_join_element_wise(
+        pa.array([" "] * batch.num_rows), txt,
+        pa.array([" "] * batch.num_rows), "")
+    stop_hits = np.zeros(batch.num_rows, dtype=np.int64)
+    for w in STOPWORDS:
+        stop_hits += pc.count_substring(padded, f" {w} ").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    top_frac = _top_word_counts(txt).astype(np.float64) / nw
+    return ((nw >= min_words) & (nw <= max_words)
+            & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+            & (stop_hits >= min_stop_hits)
+            & (top_frac <= max_top_word_frac))
 
 
 def chunk_documents(
@@ -230,17 +237,22 @@ def repetition_filter(
     distinct counts via one lexsort (``dedup._unique_per_doc``). Uses dedup's
     short-doc convention (docs under n words contribute one fallback shingle
     → dup fraction 0, trivially kept), mirrored by the SQL ``[text]`` arm."""
-    from .dedup import _unique_per_doc
-
     def fn(batch: pa.Table) -> pa.Table:
-        flat, offs = _batch_shingle_hashes(batch.column(text_col), n)
-        total = np.diff(offs)
-        _, uoffs = _unique_per_doc(flat, offs)
-        distinct = np.diff(uoffs)
-        keep = (total - distinct).astype(np.float64) / total <= max_dup_frac
+        keep = _repetition_keep(batch, text_col, n, max_dup_frac)
         return batch.filter(pa.array(keep)).select([id_col])
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _repetition_keep(batch: pa.Table, text_col: str, n: int,
+                     max_dup_frac: float) -> np.ndarray:
+    from .dedup import _unique_per_doc
+
+    flat, offs = _batch_shingle_hashes(batch.column(text_col), n)
+    total = np.diff(offs)
+    _, uoffs = _unique_per_doc(flat, offs)
+    distinct = np.diff(uoffs)
+    return (total - distinct).astype(np.float64) / total <= max_dup_frac
 
 
 def percentile_filter(
@@ -262,3 +274,42 @@ def percentile_filter(
             .select([id_col])
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def curate_pipeline(
+    ds: rd.Dataset,
+    n_rep: int = 3,
+    max_dup_frac: float = 0.2,
+    prefix_len: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """The composed curation job a real corpus run executes: Gopher quality
+    gate AND repetition gate evaluated in ONE streaming pass (both are
+    stateless per-batch predicates — scanning twice would be waste), then
+    exact prefix-fingerprint dedup keeping the lowest surviving id per
+    group. Full documents never cross a shuffle: only (fp, doc_id, n_tok)
+    survivor rows reach the bounded hash partitions. Returns
+    (doc_id, n_tok) of the curated corpus."""
+    from .dedup import _grouped_map, _prefix_fingerprints
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = (_gopher_keep(batch, text_col, 30, 100_000, 2.5, 10.0, 2, 0.2)
+                & _repetition_keep(batch, text_col, n_rep, max_dup_frac))
+        kept = batch.filter(pa.array(keep))
+        ids, h = _prefix_fingerprints(kept, id_col, text_col, prefix_len)
+        return pa.table({
+            id_col: ids,
+            "fp": pa.array(h.view(np.int64)),
+            "n_tok": word_counts(kept, text_col).cast(pa.int64()),
+        })
+
+    survivors = ds.map_batches(gate, batch_format="pyarrow")
+
+    def keep_min(df):
+        df = df.sort_values([("fp"), (id_col)], kind="mergesort")
+        first = df.groupby("fp", sort=False, as_index=False).first()
+        return first[[id_col, "n_tok"]]
+
+    return _grouped_map(survivors, ["fp"], keep_min, num_partitions)

@@ -113,10 +113,33 @@ def pack_sequences(
                               pack, num_partitions)
 
 
+def _matrix_stream(packed, seq_len: int, batch_rows: int, start_batch: int):
+    """Shared trainer tail: packed sequences -> dense (batch_rows, seq_len)
+    int32 matrices + real-token counts. ``start_batch`` fast-forwards a
+    resumed trainer: skipped batches still stream through decode/pack
+    (packing is stateful across docs, so their content is needed), but no
+    matrix is built for them."""
+    import numpy as np
+
+    for i, b in enumerate(packed.iter_batches(batch_size=batch_rows,
+                                              batch_format="pyarrow")):
+        if i < start_batch:
+            continue
+        toks = b.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        if hasattr(toks, "flatten"):  # plain list<int32>
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+        else:  # Ray tensor-extension array (fixed-shape rows)
+            flat = np.asarray(toks.to_numpy(zero_copy_only=False)).ravel()
+        mat = flat.astype(np.int32, copy=False).reshape(len(toks), seq_len)
+        yield mat, b.column("n_tokens").to_numpy(zero_copy_only=False)
+
+
 def iter_training_batches(stripe_dir: str, seq_len: int = 2048,
                           batch_rows: int = 32, pad_id: int = 0,
                           tokens_col: str = "tokens", id_col: str = "doc_id",
-                          num_partitions: int = 64):
+                          num_partitions: int = 64, start_batch: int = 0):
     """The training-loop consumer: stream an encoded stripe corpus as dense
     (batch_rows, seq_len) int32 matrices + per-row real-token counts.
 
@@ -132,22 +155,13 @@ def iter_training_batches(stripe_dir: str, seq_len: int = 2048,
     packed = pack_sequences(ds, seq_len=seq_len, tokens_col=tokens_col,
                             id_col=id_col, pad_id=pad_id,
                             num_partitions=num_partitions)
-    for b in packed.iter_batches(batch_size=batch_rows, batch_format="pyarrow"):
-        toks = b.column("tokens")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        if hasattr(toks, "flatten"):  # plain list<int32>
-            flat = toks.flatten().to_numpy(zero_copy_only=False)
-        else:  # Ray tensor-extension array (fixed-shape rows)
-            flat = np.asarray(toks.to_numpy(zero_copy_only=False)).ravel()
-        mat = flat.astype(np.int32, copy=False).reshape(len(toks), seq_len)
-        yield mat, b.column("n_tokens").to_numpy(zero_copy_only=False)
+    yield from _matrix_stream(packed, seq_len, batch_rows, start_batch)
 
 
 def iter_shuffled_batches(stripe_dir: str, epoch: int, seq_len: int = 2048,
                           batch_rows: int = 32, pad_id: int = 0,
                           tokens_col: str = "tokens", id_col: str = "doc_id",
-                          num_partitions: int = 64):
+                          num_partitions: int = 64, start_batch: int = 0):
     """Per-epoch shuffled trainer stream WITHOUT a global shuffle: the
     two-level deterministic shuffle every at-scale training loop uses.
 
@@ -191,13 +205,4 @@ def iter_shuffled_batches(stripe_dir: str, epoch: int, seq_len: int = 2048,
     packed = pack_sequences(shuffled, seq_len=seq_len, tokens_col=tokens_col,
                             id_col=id_col, pad_id=pad_id,
                             num_partitions=num_partitions)
-    for b in packed.iter_batches(batch_size=batch_rows, batch_format="pyarrow"):
-        toks = b.column("tokens")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        if hasattr(toks, "flatten"):
-            flat = toks.flatten().to_numpy(zero_copy_only=False)
-        else:
-            flat = np.asarray(toks.to_numpy(zero_copy_only=False)).ravel()
-        mat = flat.astype(np.int32, copy=False).reshape(len(toks), seq_len)
-        yield mat, b.column("n_tokens").to_numpy(zero_copy_only=False)
+    yield from _matrix_stream(packed, seq_len, batch_rows, start_batch)

@@ -231,3 +231,22 @@ def test_iter_shuffled_batches_reproducible_and_complete(ray_session, tmp_path):
     assert np.array_equal(np.sort(packed_real), np.sort(all_toks))
     # epoch changes the stream composition
     assert m1.shape == m2.shape
+
+
+def test_iter_training_batches_start_batch_resume(ray_session, tmp_path):
+    import numpy as np
+
+    from apacheorcdotnet_ray.pipelines.encode import encode_dataset
+    from apacheorcdotnet_ray.pipelines.pack import iter_training_batches
+
+    ds = _docs(120)
+    out = str(tmp_path / "stripes")
+    encode_dataset(ds.select_columns(["doc_id", "tokens"]), out,
+                   batch_size=40).materialize()
+    full = list(iter_training_batches(out, seq_len=64, batch_rows=8,
+                                      num_partitions=4))
+    resumed = list(iter_training_batches(out, seq_len=64, batch_rows=8,
+                                         num_partitions=4, start_batch=2))
+    assert len(resumed) == len(full) - 2
+    for (m1, c1), (m2, c2) in zip(full[2:], resumed):
+        assert np.array_equal(m1, m2) and np.array_equal(c1, c2)
