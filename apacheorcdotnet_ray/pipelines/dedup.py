@@ -358,19 +358,23 @@ def minhash_signatures(ds: rd.Dataset, k: int = 3, num_perm: int = 64) -> rd.Dat
 
 def dedup_minhash_lsh(
     ds: rd.Dataset, k: int = 3, num_perm: int = 64, bands: int = 16,
-    jaccard_threshold: float = 0.8,
+    jaccard_threshold: float = 0.8, num_partitions: int = 64,
 ) -> rd.Dataset:
-    """MinHash → LSH band buckets → in-bucket exact-Jaccard verify.
+    """MinHash → LSH band buckets → candidate pairs → exact-Jaccard verify.
 
-    Emits (doc_a, doc_b, jaccard) for verified near-duplicate pairs. Each
-    banded row carries its doc's UNIQUE shingle-hash set, so verification
-    happens entirely inside the (band_id, band_hash) group — nothing is ever
-    collected to the driver or broadcast; the shuffle moves (doc_id, band,
-    hash, shingle set) rows only (set shipped once per band). A final grouped
-    stage dedupes pairs discovered by multiple bands.
+    Emits (doc_a, doc_b, jaccard) for verified near-duplicate pairs. The
+    banding shuffle moves (doc_id, band_id, band_hash) POSTINGS only — 24
+    bytes per (doc, band) — not shingle sets: candidate pairs come out of
+    the buckets first, and only the docs actually referenced by a candidate
+    pair have their shingle sets computed (one filtered corpus pass) and
+    joined back for the exact verify. Versus shipping each doc's set once
+    per band, the banding shuffle shrinks ~bands× (16× at the defaults) and
+    verify traffic is proportional to CANDIDATES, not corpus.
 
-    Partitioning assumption: all members of one LSH bucket fit in one group
-    (true unless a bucket degenerates; buckets are (band_id, band_hash))."""
+    Partitioning assumptions: all members of one LSH bucket fit in one
+    group (buckets are (band_id, band_hash)), and the candidate-pair doc
+    set is far smaller than the corpus (the semi-join broadcast below —
+    same bound dup_clusters already relies on)."""
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm)
 
@@ -385,46 +389,27 @@ def dedup_minhash_lsh(
                 * np.uint64(0x9E3779B97F4A7C15)
             bh = (banded * mult).sum(axis=2)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        # verify sets ship as 32-bit hash truncations: half the shuffle
-        # bytes; expected Jaccard inflation from 32-bit collisions is
-        # ~|A||B|/2^32 ≈ 1e-5 for typical shingle sets — far below any
-        # useful threshold. (MinHash signatures above stay 64-bit.)
-        # re-unique per doc AFTER truncation (vectorized lexsort kernel)
-        u32, o32 = _unique_per_doc((sh & np.uint64(0xFFFFFFFF)), offs)
-        sets = pa.LargeListArray.from_arrays(
-            pa.array(o32, type=pa.int64()),
-            pa.array(u32.astype(np.int32), type=pa.int32()))
-        rep = sets.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), bands)))
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, bands)),
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "band_hash": pa.array(bh.ravel().view(np.int64)),
-            "sh_set": rep,
         })
 
-    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Candidate (doc_a < doc_b) pairs from every bucket in this
+        partition, deduped across buckets — vectorized (no Python loop
+        over buckets or pairs)."""
         empty = pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
-                              "doc_b": pd.Series(dtype=df["doc_id"].dtype),
-                              "jaccard": pd.Series(dtype=np.float64)})
+                              "doc_b": pd.Series(dtype=df["doc_id"].dtype)})
         dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
         if dup.empty:
             return empty
-        # candidate pairs from every bucket in this partition, deduped FIRST
-        # (a near-dup pair shares many bands → would otherwise verify once
-        # per band), then exact Jaccard once per distinct pair — all stages
-        # batched across buckets (no Python loop over buckets or pairs).
-        # sort=True so code order == id order → pairs come out (min, max).
+        # sort=True so code order == id order → pairs come out (min, max)
         dcodes, duniq = pd.factorize(dup["doc_id"], sort=True)
         band = dup["band_id"].to_numpy(np.int32)
         bh = dup["band_hash"].to_numpy(np.int64)
         order = np.lexsort((dcodes, bh, band))
-        # one row per (bucket, doc): drop same-doc repeats within a bucket
-        dc_s = dcodes[order]
-        b_s, h_s = band[order], bh[order]
-        keep = np.ones(len(order), dtype=bool)
-        keep[1:] = ((b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])
-                    | (dc_s[1:] != dc_s[:-1]))
-        dc_s, b_s, h_s = dc_s[keep], b_s[keep], h_s[keep]
+        dc_s, b_s, h_s = dcodes[order], band[order], bh[order]
         gstart = np.ones(len(b_s), dtype=bool)
         gstart[1:] = (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])
         bsizes = np.diff(np.append(np.nonzero(gstart)[0], len(b_s)))
@@ -432,35 +417,105 @@ def dedup_minhash_lsh(
         if not len(ia):
             return empty
         n_docs = len(duniq)
-        pkey = dc_s[ia].astype(np.int64) * n_docs + dc_s[ib]
-        pkey = np.unique(pkey)
-        pa_c, pb_c = pkey // n_docs, pkey % n_docs
-        # partition-local doc→shingle-set map as flat values + offsets
-        _, first_idx = np.unique(dcodes, return_index=True)
-        sets = [np.asarray(s, dtype=np.int64)
-                for s in dup["sh_set"].to_numpy()[first_idx]]
-        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        pkey = np.unique(dc_s[ia].astype(np.int64) * n_docs + dc_s[ib])
+        return pd.DataFrame({"doc_a": duniq[pkey // n_docs],
+                             "doc_b": duniq[pkey % n_docs]})
+
+    postings = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = _grouped_map(postings, ["band_id", "band_hash"], bucket_pairs,
+                         num_partitions)
+    pairs = _grouped_map(
+        pairs, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]), num_partitions)
+    # candidates are small (near-dups + band collisions); pin them so the
+    # banding shuffle runs ONCE even though verify consumes pairs three
+    # times (two id projections + the join left side)
+    return _verify_pairs_jaccard(ds, pairs.materialize(), k, jaccard_threshold)
+
+
+def _verify_pairs_jaccard(
+    ds: rd.Dataset, pairs: rd.Dataset, k: int, jaccard_threshold: float,
+) -> rd.Dataset:
+    """Exact-Jaccard verify for candidate (doc_a, doc_b) pairs: shingle
+    sets are computed ONLY for referenced docs (semi-join corpus filter),
+    shipped as packed int32 binary (Arrow joins carry binary payloads,
+    not list columns), attached with the adaptive hash_join (broadcasts
+    when the candidate set is small, co-partitions otherwise), and scored
+    with the chunked vectorized intersection kernel.
+
+    Sets are 32-bit hash truncations: half the bytes; expected Jaccard
+    inflation from 32-bit collisions is ~|A||B|/2^32 ≈ 1e-5 for typical
+    shingle sets — far below any useful threshold."""
+    from .joins import hash_join, semi_join
+
+    def ids_only(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"_d": batch.column(col)})
+        return fn
+
+    cand_ids = pairs.map_batches(ids_only("doc_a"), batch_format="pyarrow") \
+        .union(pairs.map_batches(ids_only("doc_b"), batch_format="pyarrow"))
+    cand_docs = semi_join(ds.select_columns(["doc_id", "text"]), cand_ids,
+                          "doc_id", "_d")
+
+    def make_sets(batch: pa.Table) -> pa.Table:
+        sh, offs = _batch_shingle_hashes(batch.column("text"), k)
+        u32, o32 = _unique_per_doc((sh & np.uint64(0xFFFFFFFF)), offs)
+        vals = u32.astype(np.int32)
+        bufs = [vals[o32[i]:o32[i + 1]].tobytes()
+                for i in range(len(o32) - 1)]
+        return pa.table({
+            "_d": batch.column("doc_id"),
+            "_set": pa.array(bufs, type=pa.binary()),
+        })
+
+    def rename(ka, sa):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([ka, sa])
+        return fn
+
+    # sets computed ONCE for the candidate docs, pinned, then renamed per
+    # join side (rename over materialized blocks is a zero-copy re-read)
+    sets = cand_docs.map_batches(make_sets, batch_format="pyarrow") \
+        .materialize()
+    sets_a = sets.map_batches(rename("_da", "set_a"), batch_format="pyarrow")
+    sets_b = sets.map_batches(rename("_db", "set_b"), batch_format="pyarrow")
+    j = hash_join(pairs, sets_a, "doc_a", "_da")
+    j = hash_join(j, sets_b, "doc_b", "_db")
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({
+            "doc_a": pa.array([], type=batch.schema.field("doc_a").type),
+            "doc_b": pa.array([], type=batch.schema.field("doc_b").type),
+            "jaccard": pa.array([], type=pa.float64()),
+        })
+        if n == 0:
+            return empty
+        sa = [np.frombuffer(x.as_py(), dtype=np.int32).astype(np.int64)
+              for x in batch.column("set_a")]
+        sb = [np.frombuffer(x.as_py(), dtype=np.int32).astype(np.int64)
+              for x in batch.column("set_b")]
+        lens = np.array([len(s) for s in sa] + [len(s) for s in sb],
+                        dtype=np.int64)
         offs = np.concatenate([[0], np.cumsum(lens)])
-        vals = np.concatenate(sets) if sets else np.empty(0, np.int64)
-        inter = _pair_intersections(vals, offs, pa_c, pb_c)
-        union = lens[pa_c] + lens[pb_c] - inter
+        vals = np.concatenate(sa + sb) if (sa or sb) else np.empty(0, np.int64)
+        ia = np.arange(n, dtype=np.int64)
+        ib = ia + n
+        inter = _pair_intersections(vals, offs, ia, ib)
+        union = lens[ia] + lens[ib] - inter
         jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         hit = jac >= jaccard_threshold
         if not hit.any():
             return empty
-        return pd.DataFrame({"doc_a": duniq[pa_c[hit]],
-                             "doc_b": duniq[pb_c[hit]],
-                             "jaccard": jac[hit]})
+        mask = pa.array(hit)
+        return pa.table({
+            "doc_a": batch.column("doc_a").filter(mask),
+            "doc_b": batch.column("doc_b").filter(mask),
+            "jaccard": pa.array(jac[hit], type=pa.float64()),
+        })
 
-    pairs = _grouped_map(
-        ds.map_batches(explode, batch_format="pyarrow"),
-        ["band_id", "band_hash"],
-        bucket_verify,
-    )
-    return _grouped_map(
-        pairs, ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-    )
+    return j.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

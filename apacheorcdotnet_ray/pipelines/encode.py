@@ -195,12 +195,16 @@ def compact_stripes(
         if not os.path.exists(dst):
             shutil.copy(p, dst)
         # merge-on-read deletes travel with a passthrough copy (merged bins
-        # instead apply them physically via StripeDecoder and start clean)
-        from ..stripe.deletes import sidecar_path
+        # instead apply them physically via StripeDecoder and start clean).
+        # Data stripes are immutable (skip-if-exists is safe) but sidecars
+        # are NOT: a re-run after further delete_where calls on the source
+        # must OR-merge into the destination's sidecar, or the newly
+        # deleted rows resurface in the compacted corpus.
+        from ..stripe.deletes import read_delete_mask, write_delete_mask
 
-        if os.path.exists(sidecar_path(p)) \
-                and not os.path.exists(sidecar_path(dst)):
-            shutil.copy(sidecar_path(p), sidecar_path(dst))
+        src_mask = read_delete_mask(p)
+        if src_mask is not None:
+            write_delete_mask(dst, src_mask)  # idempotent OR-merge
 
     merged = 0
     if small_bins:

@@ -55,7 +55,12 @@ def range_join_follow_counts(
     on ``key`` co-locates each key's events; within a partition the counts
     for ALL events come from two vectorized searchsorted calls against the
     key's sorted timestamp array — no pairwise expansion, so a window
-    containing m events costs O(log n), not O(m)."""
+    containing m events costs O(log n), not O(m). The per-partition kernel
+    is fully vectorized across keys (no Python loop over key groups): rows
+    sort by (key, ts), timestamps map to global right-ranks, and ONE
+    searchsorted over the composite (key_code, rank) answers every row's
+    within-key count — exact because ts_a <= ts_b iff rank(ts_a) <=
+    rank(ts_b) for right-ranks into the same sorted array."""
     import pandas as pd
 
     from .dedup import _grouped_map
@@ -64,17 +69,23 @@ def range_join_follow_counts(
 
     def count_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, ts_col], kind="mergesort")
-        out_ids, out_counts = [], []
-        for _, g in df.groupby(key, sort=False):
-            ts = g[ts_col].values  # sorted datetime64
-            lo = np.searchsorted(ts, ts, side="right")
-            hi = np.searchsorted(ts, ts + delta, side="right")
-            out_ids.append(g[id_col].values)
-            out_counts.append(hi - lo)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({id_col: np.array([], dtype=np.int64),
+                                 "n_follow": np.array([], dtype=np.int64)})
+        ts = df[ts_col].to_numpy()
+        kcode, _ = pd.factorize(df[key], sort=False)  # key-sorted → nondecreasing
+        kcode = kcode.astype(np.int64)
+        sorted_ts = np.sort(ts)
+        base = np.int64(n + 1)
+        rank_lo = np.searchsorted(sorted_ts, ts, side="right").astype(np.int64)
+        rank_hi = np.searchsorted(sorted_ts, ts + delta, side="right").astype(np.int64)
+        comp = kcode * base + rank_lo  # sorted: kcode and within-key ranks nondecreasing
+        lo = np.searchsorted(comp, comp, side="right")
+        hi = np.searchsorted(comp, kcode * base + rank_hi, side="right")
         return pd.DataFrame({
-            id_col: np.concatenate(out_ids) if out_ids else np.array([], dtype=np.int64),
-            "n_follow": np.concatenate(out_counts).astype(np.int64)
-            if out_counts else np.array([], dtype=np.int64),
+            id_col: df[id_col].to_numpy(),
+            "n_follow": (hi - lo).astype(np.int64),
         })
 
     return _grouped_map(ds.select_columns([id_col, key, ts_col]), [key], count_part,
@@ -180,33 +191,34 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = 64,
     broadcast_threshold: int = 200_000,
+    native: bool = False,
 ) -> rd.Dataset:
     """Adaptive equi-join. The right side (by convention the smaller) is
     materialized and counted once — vocabulary/dimension-sized sides
     (≤ ``broadcast_threshold`` rows) broadcast via ``ray.put`` and join
-    per-batch with zero shuffle; larger sides go through Ray Data's native
-    hash-shuffle join (``Dataset.join``): each side shuffles with its OWN
-    schema to co-partitioned joining aggregators — measured 62% leaner on
-    the wire than the union-with-null-padding repartition join below (null
-    Arrow columns still serialize their full data buffers through IPC,
-    plus a per-row side tag).
+    per-batch with zero shuffle; larger sides go through the
+    ``repartition_join`` shuffle below.
 
-    The size cutoff is also a CORRECTNESS guard for Ray 2.49's native
-    join: an aggregator partition that receives zero shards of one side
-    builds a column-less table and ``pa.Table.join`` raises
-    'No match ... FieldRef' (ray/data/_internal/execution/operators/
-    join.py:118). Key domains ≫ partitions make that probability ~0; small
-    domains (where it bites) take the broadcast path instead. Callers
-    demonstrating the shuffle join on mid-sized sides can pass
-    ``broadcast_threshold=0`` — their key domain must exceed the partition
-    count. Output columns: left's, then right's minus its key (same
-    contract as ``repartition_join``). ``how``: inner | left."""
-    join_type = {"inner": "inner", "left": "left_outer"}[how]
-    if not hasattr(rd.Dataset, "join"):  # older Ray: shuffle-union fallback
-        return repartition_join(left, right, left_on, right_on, how,
-                                num_partitions)
-    import ray
+    ``native=True`` opts into Ray Data's native hash-shuffle join
+    (``Dataset.join``) instead. Each side then shuffles with its OWN schema
+    to co-partitioned joining aggregators — measured 62% leaner on the wire
+    than the union-with-null-padding repartition shuffle, which matters on
+    a real multi-node cluster. It is NOT the default because on this
+    single-node target it measured 1.5–2.7× slower and far more variable
+    (interleaved worktree microbench, 600k × 150k sf0.1 join: repartition
+    3.3–4.5 s vs native 5.2–12.1 s best-of-2 legs), and because of two
+    Ray 2.49 caveats: (a) an aggregator partition that receives zero
+    shards of one side builds a column-less table and ``pa.Table.join``
+    raises 'No match ... FieldRef' (ray/data/_internal/execution/
+    operators/join.py:118) — key domains ≫ partitions make that ~0, the
+    broadcast cutoff shields small domains; (b) the joining aggregators
+    are gang-scheduled actors, so partitions are clamped to cluster CPUs
+    (observed hang at 64 partitions / 4 CPUs), making per-partition state
+    proportional to data/CPUs rather than to a data-sized partition count.
+    Re-evaluate the default when Dataset.join can pipeline aggregators.
 
+    Output columns: left's, then right's minus its key (same contract as
+    ``repartition_join``). ``how``: inner | left."""
     l_cols = list(left.schema().names)
     r_cols = [c for c in right.schema().names if c != right_on]
     if broadcast_threshold > 0:
@@ -220,14 +232,17 @@ def hash_join(
                 left, small, left_on, right_on, join_type=bc_type
             ).map_batches(lambda b: b.select(l_cols + r_cols),
                           batch_format="pyarrow")
-    # The joining aggregators are actors that all must schedule before any
-    # progress: more partitions than CPUs deadlocks (observed hang at 64
-    # partitions / 4 CPUs). Clamp to the cluster CPU count.
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    num_partitions = max(1, min(num_partitions, cpus))
-    out = left.join(right, join_type, num_partitions=num_partitions,
-                    on=(left_on,), right_on=(right_on,))
-    return out.select_columns(l_cols + r_cols)
+    if native and hasattr(rd.Dataset, "join"):
+        import ray
+
+        join_type = {"inner": "inner", "left": "left_outer"}[how]
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        out = left.join(right, join_type,
+                        num_partitions=max(1, min(num_partitions, cpus)),
+                        on=(left_on,), right_on=(right_on,))
+        return out.select_columns(l_cols + r_cols)
+    return repartition_join(left, right, left_on, right_on, how,
+                            num_partitions)
 
 
 def repartition_join(

@@ -254,7 +254,10 @@ def weighted_sample(
             .astype(np.float64)
         pri = _row_hash(ids).astype(np.float64) / w
         if len(pri) > k:
-            keep = np.argpartition(pri, k)[:k]
+            # lexsort (not bare argpartition): equal priorities straddling
+            # the k-boundary must break on id, matching the driver merge
+            # and the SQL oracle's ORDER BY priority, doc_id
+            keep = np.lexsort((ids, pri))[:k]
             batch = batch.take(pa.array(keep))
             pri = pri[keep]
         return pa.table({id_col: batch.column(id_col),

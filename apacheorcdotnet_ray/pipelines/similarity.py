@@ -230,6 +230,111 @@ def knn_join(
     return emb_ds.map_batches(nn, batch_format="pyarrow")
 
 
+def knn_join_ivf(
+    emb_ds: rd.Dataset, k: int = 1, n_centroids: int = 4,
+    n_probe: int | None = None,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """IVF-bucketed kNN self-join — the beyond-RAM scale path ``knn_join``'s
+    docstring promises. No corpus matrix is ever broadcast or materialized:
+
+    1. centroids come from a bounded driver-side sample (train_centroids);
+    2. each vector ships ONCE as a member of its assigned bucket and
+       ``n_probe`` times as a query to its nearest buckets — O(n · n_probe)
+       rows through one bounded hash shuffle, never O(n²);
+    3. each bucket scores its queries × members in one matmul (candidates
+       restricted to the probed bucket);
+    4. a final bounded-partition reduce keeps each query's global top-k
+       across its probed buckets (a neighbor lives in exactly one bucket,
+       so no cross-bucket duplicates exist).
+
+    With ``n_probe = n_centroids`` (the default) every bucket is probed and
+    the join is EXACT — each (query, member) pair is scored in exactly one
+    bucket; smaller ``n_probe`` trades recall for a ~n_probe/n_centroids
+    scan fraction. Partitioning assumption: one bucket's members + queries
+    fit in one group — scale ``n_centroids`` with the corpus so buckets
+    stay worker-sized. Returns (vec_id, rank, nn_id, cosine), rank 0 =
+    nearest, ties broken cosine desc then nn_id asc (same contract as
+    ``knn_join``)."""
+    import pandas as pd
+
+    from .dedup import _grouped_map, _grouped_map_arrow
+
+    if n_probe is None:
+        n_probe = n_centroids
+    cent = train_centroids(emb_ds, n_centroids, emb_col=emb_col)
+    n_probe = min(n_probe, len(cent))
+    cent_ref = ray.put(cent)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        sims = m @ cm.T
+        assign = np.argmax(sims, axis=1).astype(np.int32)
+        probes = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        n, d = m.shape
+        bucket = np.concatenate([assign, probes.ravel()])
+        rep_ids = np.concatenate([ids, np.repeat(ids, n_probe)])
+        role = np.concatenate([np.zeros(n, np.int8),
+                               np.ones(n * n_probe, np.int8)])
+        vecs = np.concatenate([m, np.repeat(m, n_probe, axis=0)])
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), type=pa.float64()), d)
+        return pa.table({
+            "bucket": pa.array(bucket.astype(np.int32)),
+            id_col: pa.array(rep_ids),
+            "role": pa.array(role, type=pa.int8()),
+            "vec": emb,
+        })
+
+    def bucket_knn(t: pa.Table) -> pa.Table:
+        bk = t.column("bucket").to_numpy(zero_copy_only=False)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        m = _to_matrix(t.column("vec"))
+        out = []
+        for b in np.unique(bk):  # few buckets per partition; matmul dominates
+            sel = bk == b
+            mem = sel & (role == 0)
+            qry = sel & (role == 1)
+            if not mem.any() or not qry.any():
+                continue
+            mi, qi = ids[mem], ids[qry]
+            sims = m[qry] @ m[mem].T
+            sims[qi[:, None] == mi[None, :]] = -np.inf  # mask self
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] \
+                if sims.shape[1] > kk else \
+                np.tile(np.arange(sims.shape[1]), (sims.shape[0], 1))
+            s = np.take_along_axis(sims, top, axis=1)
+            keep = np.isfinite(s.ravel())
+            out.append(pa.table({
+                id_col: pa.array(np.repeat(qi, top.shape[1])[keep]),
+                "nn_id": pa.array(mi[top].ravel()[keep]),
+                "cosine": pa.array(s.ravel()[keep], type=pa.float64()),
+            }))
+        if not out:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "nn_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        return pa.concat_tables(out)
+
+    cand = _grouped_map_arrow(
+        emb_ds.map_batches(explode, batch_format="pyarrow"),
+        ["bucket"], bucket_knn, num_partitions)
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "cosine", "nn_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby(id_col, sort=False).cumcount()
+        df = df[df["rank"] < k]
+        return df[[id_col, "rank", "nn_id", "cosine"]]
+
+    return _grouped_map(cand, [id_col], reduce_topk, num_partitions)
+
+
 def ivf_topk(emb_ds: rd.Dataset, query_vecs: np.ndarray, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", emb_col: str = "embedding") -> pa.Table:

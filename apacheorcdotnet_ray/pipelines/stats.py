@@ -756,6 +756,8 @@ def quantile_sketch(ds: rd.Dataset, col: str, q: float = 0.5,
                          "w": pa.array(ends - starts)})
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:  # empty dataset or all-null column: no rank to estimate
+        raise ValueError(f"quantile_sketch: no non-null values in {col!r}")
     vals = np.array([r["val"] for r in rows])
     ws = np.array([r["w"] for r in rows], dtype=np.int64)
     order = np.argsort(vals, kind="stable")

@@ -506,10 +506,12 @@ def vocab_counts(ds: rd.Dataset, k: int = 20, vocab: int = VOCAB,
                  tokens_col: str = "tokens") -> pa.Table:
     """Top-k token-id frequencies over a tokens:list<int32> corpus with NO
     shuffle: each batch reduces to ONE fixed-length bincount vector (the
-    whole-vocab histogram fits in ~400 KB), the driver sums the tiny
-    per-batch vectors, then takes the top-k. The classic fixed-domain
-    aggregation shape — a groupby over token ids would shuffle billions of
-    rows to produce the same 50k counters."""
+    whole-vocab histogram fits in ~400 KB), a distributed tree reduce sums
+    the per-batch vectors so the driver receives O(1) rows (NOT one per
+    batch — at 10^6 batches that would be ~400 GB of driver traffic), then
+    the driver takes the top-k. The classic fixed-domain aggregation shape —
+    a groupby over token ids would shuffle billions of rows to produce the
+    same 50k counters."""
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = batch.column(tokens_col)
@@ -521,9 +523,21 @@ def vocab_counts(ds: rd.Dataset, k: int = 20, vocab: int = VOCAB,
         counts = np.bincount(flat, minlength=vocab)[:vocab].astype(np.int64)
         return pa.table({"counts": pa.array([counts.tobytes()], type=pa.binary())})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def combine(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(vocab, dtype=np.int64)
+        for buf in batch.column("counts"):
+            acc += np.frombuffer(buf.as_py(), dtype=np.int64)
+        return pa.table({"counts": pa.array([acc.tobytes()], type=pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # tree reduce: each level folds up to 64 histogram rows into one, so
+    # three levels bound the driver fold at O(batches / 64^3) rows
+    for _ in range(3):
+        partials = partials.map_batches(combine, batch_format="pyarrow",
+                                        batch_size=64)
+    rows = partials.take_all()
     total = np.zeros(vocab, dtype=np.int64)
-    for r in rows:  # one small vector per batch — tiny driver reduce
+    for r in rows:  # a handful of rows after the tree reduce
         total += np.frombuffer(r["counts"], dtype=np.int64)
     order = np.argsort(-total, kind="stable")[:k]
     return pa.table({

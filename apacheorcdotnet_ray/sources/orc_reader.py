@@ -1,0 +1,187 @@
+"""Decode-only Apache ORC reader: cross-validates this repo's codec stack
+against an INDEPENDENT writer (the Hive-written conformance file the
+reference pins its readers to — /root/reference/test/ApacheOrcDotNet.Test/
+Data/demo-12-zlib.orc, expected values at ColumnTypes/LongReader_Test.cs:24-102
+and Protocol/ExpectedOutput.txt).
+
+Scope is deliberately narrow — the repo's own container format is the
+production surface (SURVEY §2.6 C4 blessed deviation); this module exists so
+the RLEv2 / boolean-RLE decoders are proven against bytes this codebase never
+wrote:
+
+- protobuf tail parsing via a ~40-line wire-format reader (no protobuf dep;
+  field numbers from the public ORC spec — the reference's generated
+  Protocol/*.cs carries the same public schema);
+- ORC compressed-stream framing (3-byte little-endian chunk headers,
+  ``(len << 1) | is_original``; raw-deflate bodies for ZLIB);
+- integer columns: DIRECT_V2 (our ``codecs.rlev2.decode``) and the PRESENT
+  boolean-RLE stream (our ``codecs.bool_rle``).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..codecs import bool_rle, rlev2
+
+# --- minimal protobuf wire-format reader -----------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def pb_parse(buf: bytes) -> dict[int, list]:
+    """Tag → list of raw values (int for varint/fixed, bytes for
+    length-delimited). Enough of proto2 for ORC's PostScript / Footer /
+    StripeFooter messages."""
+    out: dict[int, list] = {}
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        tag, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            val = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+        elif wire == 1:
+            val = int.from_bytes(buf[pos:pos + 8], "little")
+            pos += 8
+        else:  # pragma: no cover - groups unused by ORC
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+        out.setdefault(tag, []).append(val)
+    return out
+
+
+# --- ORC structures (field numbers from the public ORC proto) ---------------
+
+_KIND_PRESENT, _KIND_DATA, _KIND_LENGTH = 0, 1, 2
+_KIND_DICTIONARY_DATA, _KIND_ROW_INDEX = 3, 6
+_ENC_DIRECT, _ENC_DICTIONARY, _ENC_DIRECT_V2, _ENC_DICTIONARY_V2 = 0, 1, 2, 3
+
+
+@dataclass
+class _Stripe:
+    offset: int
+    index_length: int
+    data_length: int
+    footer_length: int
+    number_of_rows: int
+
+
+def _decompress(buf: bytes, compression: int) -> bytes:
+    """ORC stream: concatenation of [3-byte LE header][chunk] blocks;
+    header = (chunk_len << 1) | is_original. compression 0 = NONE."""
+    if compression == 0:
+        return buf
+    out = bytearray()
+    pos = 0
+    while pos + 3 <= len(buf):
+        hdr = int.from_bytes(buf[pos:pos + 3], "little")
+        pos += 3
+        ln, original = hdr >> 1, hdr & 1
+        chunk = buf[pos:pos + ln]
+        pos += ln
+        if original:
+            out += chunk
+        elif compression == 1:  # ZLIB = raw deflate
+            out += zlib.decompress(chunk, -15)
+        else:  # pragma: no cover
+            raise NotImplementedError(f"ORC compression kind {compression}")
+    return bytes(out)
+
+
+class OrcFile:
+    """Tail-parsed ORC file; reads integer columns through the repo codecs."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self._buf = f.read()
+        buf = self._buf
+        ps_len = buf[-1]
+        ps = pb_parse(buf[-1 - ps_len:-1])
+        footer_len = ps[1][0]
+        self.compression = ps.get(2, [0])[0]
+        self.block_size = ps.get(3, [256 * 1024])[0]
+        footer_raw = _decompress(
+            buf[-1 - ps_len - footer_len:-1 - ps_len], self.compression)
+        footer = pb_parse(footer_raw)
+        self.number_of_rows = footer.get(6, [0])[0]
+        self.stripes = [
+            _Stripe(s.get(1, [0])[0], s.get(2, [0])[0], s.get(3, [0])[0],
+                    s.get(4, [0])[0], s.get(5, [0])[0])
+            for s in (pb_parse(raw) for raw in footer.get(3, []))
+        ]
+        # types: field 1 = kind enum, field 2 = subtypes (for the root struct)
+        self.types = [pb_parse(raw) for raw in footer.get(4, [])]
+
+    def _stripe_footer(self, st: _Stripe) -> dict[int, list]:
+        start = st.offset + st.index_length + st.data_length
+        raw = self._buf[start:start + st.footer_length]
+        return pb_parse(_decompress(raw, self.compression))
+
+    def _column_streams(self, st: _Stripe, column: int) -> dict[int, bytes]:
+        """kind → decompressed stream bytes for one column of one stripe.
+        Stream payloads are laid out in StripeFooter.streams order: ROW_INDEX
+        kinds live in the index region, the rest in the data region."""
+        sf = self._stripe_footer(st)
+        streams = [pb_parse(raw) for raw in sf.get(1, [])]
+        out: dict[int, bytes] = {}
+        pos = st.offset
+        for s in streams:
+            kind = s.get(1, [0])[0]
+            col = s.get(2, [0])[0]
+            ln = s.get(3, [0])[0]
+            if col == column and kind != _KIND_ROW_INDEX:
+                out[kind] = _decompress(self._buf[pos:pos + ln],
+                                        self.compression)
+            pos += ln
+        return out
+
+    def column_encoding(self, column: int) -> int:
+        enc = [pb_parse(raw) for raw in
+               self._stripe_footer(self.stripes[0]).get(2, [])]
+        return enc[column].get(1, [0])[0]
+
+    def read_int_column(self, column: int) -> np.ndarray:
+        """Decode an integer column (DIRECT_V2) across all stripes with the
+        repo's RLEv2 decoder; PRESENT (if any) via the boolean-RLE decoder.
+        Returns int64 values (nulls excluded — the conformance columns are
+        fully present, and the null PATH is exercised by the present-mask
+        assertion)."""
+        parts = []
+        for st in self.stripes:
+            enc = self.column_encoding(column)
+            if enc not in (_ENC_DIRECT_V2,):
+                raise NotImplementedError(
+                    f"column encoding {enc} (only DIRECT_V2 wired)")
+            streams = self._column_streams(st, column)
+            data = streams[_KIND_DATA]
+            vals = rlev2.decode(data, signed=True)
+            if _KIND_PRESENT in streams:
+                present = bool_rle.decode(streams[_KIND_PRESENT],
+                                          st.number_of_rows)
+                if int(present.sum()) != len(vals):  # pragma: no cover
+                    raise ValueError("PRESENT count != decoded value count")
+            elif len(vals) != st.number_of_rows:  # pragma: no cover
+                raise ValueError(
+                    f"decoded {len(vals)} values, stripe has "
+                    f"{st.number_of_rows} rows")
+            parts.append(vals.astype(np.int64))
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)

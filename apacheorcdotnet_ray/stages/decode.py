@@ -58,6 +58,10 @@ class StripeDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         paths = (batch.column("path").to_pylist()
                  if "path" in batch.column_names else None)
+        if "bytes" not in batch.column_names and paths is None:
+            raise ValueError(
+                "StripeDecoder input must carry a 'bytes' or 'path' column "
+                f"(got {batch.column_names})")
         if "bytes" in batch.column_names:
             blobs = batch.column("bytes").to_pylist()
         else:  # paths only
