@@ -435,28 +435,28 @@ def dedup_minhash_lsh(
 
 def _verify_pairs_jaccard(
     ds: rd.Dataset, pairs: rd.Dataset, k: int, jaccard_threshold: float,
+    broadcast_pairs: int = 1_000_000,
 ) -> rd.Dataset:
     """Exact-Jaccard verify for candidate (doc_a, doc_b) pairs: shingle
-    sets are computed ONLY for referenced docs (semi-join corpus filter),
-    shipped as packed int32 binary (Arrow joins carry binary payloads,
-    not list columns), attached with the adaptive hash_join (broadcasts
-    when the candidate set is small, co-partitions otherwise), and scored
-    with the chunked vectorized intersection kernel.
+    sets are computed ONLY for referenced docs, shipped as packed int32
+    binary, and scored with the chunked vectorized intersection kernel.
+
+    Two paths on the already-materialized ``pairs``:
+    - ≤ ``broadcast_pairs`` candidates (the common case — candidates are
+      near-dups + band collisions): candidate ids and their sets broadcast
+      via ``ray.put`` (the same boundedness dup_clusters relies on), so
+      verify is ONE filtered corpus pass + ONE map over pairs — no extra
+      shuffles.
+    - larger candidate sets: fully distributed — semi-join corpus filter,
+      then two adaptive hash_joins attach set_a/set_b (Arrow joins carry
+      binary payloads, not list columns).
 
     Sets are 32-bit hash truncations: half the bytes; expected Jaccard
     inflation from 32-bit collisions is ~|A||B|/2^32 ≈ 1e-5 for typical
     shingle sets — far below any useful threshold."""
+    import ray
+
     from .joins import hash_join, semi_join
-
-    def ids_only(col):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table({"_d": batch.column(col)})
-        return fn
-
-    cand_ids = pairs.map_batches(ids_only("doc_a"), batch_format="pyarrow") \
-        .union(pairs.map_batches(ids_only("doc_b"), batch_format="pyarrow"))
-    cand_docs = semi_join(ds.select_columns(["doc_id", "text"]), cand_ids,
-                          "doc_id", "_d")
 
     def make_sets(batch: pa.Table) -> pa.Table:
         sh, offs = _batch_shingle_hashes(batch.column("text"), k)
@@ -469,19 +469,61 @@ def _verify_pairs_jaccard(
             "_set": pa.array(bufs, type=pa.binary()),
         })
 
-    def rename(ka, sa):
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns([ka, sa])
-        return fn
+    n_pairs = pairs.count()  # pairs is materialized → count is free
+    if n_pairs <= broadcast_pairs:
+        import pyarrow.compute as pc
 
-    # sets computed ONCE for the candidate docs, pinned, then renamed per
-    # join side (rename over materialized blocks is a zero-copy re-read)
-    sets = cand_docs.map_batches(make_sets, batch_format="pyarrow") \
-        .materialize()
-    sets_a = sets.map_batches(rename("_da", "set_a"), batch_format="pyarrow")
-    sets_b = sets.map_batches(rename("_db", "set_b"), batch_format="pyarrow")
-    j = hash_join(pairs, sets_a, "doc_a", "_da")
-    j = hash_join(j, sets_b, "doc_b", "_db")
+        cand = set()
+        for r in pairs.take_all():
+            cand.add(r["doc_a"])
+            cand.add(r["doc_b"])
+        ids_ref = ray.put(pa.array(sorted(cand)))
+
+        def filt(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
+            return batch.filter(m)
+
+        set_rows = ds.select_columns(["doc_id", "text"]) \
+            .map_batches(filt, batch_format="pyarrow") \
+            .map_batches(make_sets, batch_format="pyarrow").take_all()
+        sets_ref = ray.put({r["_d"]: r["_set"] for r in set_rows})
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lut = ray.get(sets_ref)
+            sa = [lut[d] for d in batch.column("doc_a").to_pylist()]
+            sb = [lut[d] for d in batch.column("doc_b").to_pylist()]
+            return pa.table({
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "set_a": pa.array(sa, type=pa.binary()),
+                "set_b": pa.array(sb, type=pa.binary()),
+            })
+
+        j = pairs.map_batches(attach, batch_format="pyarrow")
+    else:
+        def ids_only(col):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table({"_d": batch.column(col)})
+            return fn
+
+        cand_ids = pairs.map_batches(ids_only("doc_a"), batch_format="pyarrow") \
+            .union(pairs.map_batches(ids_only("doc_b"), batch_format="pyarrow"))
+        cand_docs = semi_join(ds.select_columns(["doc_id", "text"]), cand_ids,
+                              "doc_id", "_d")
+
+        def rename(ka, sa):
+            def fn(batch: pa.Table) -> pa.Table:
+                return batch.rename_columns([ka, sa])
+            return fn
+
+        # sets computed ONCE for the candidate docs, pinned, then renamed
+        # per join side (rename over materialized blocks is zero-copy)
+        sets = cand_docs.map_batches(make_sets, batch_format="pyarrow") \
+            .materialize()
+        sets_a = sets.map_batches(rename("_da", "set_a"), batch_format="pyarrow")
+        sets_b = sets.map_batches(rename("_db", "set_b"), batch_format="pyarrow")
+        j = hash_join(pairs, sets_a, "doc_a", "_da")
+        j = hash_join(j, sets_b, "doc_b", "_db")
 
     def score(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

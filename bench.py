@@ -159,6 +159,9 @@ def run_bench() -> dict:
         similarity.brute_force_topk(emb_ds, q[None, :], k=10)
 
     timed("ann_topk", _ann)
+    # bucketed exact kNN self-join (nothing broadcast; n_probe = n_centroids)
+    timed("knn_join_ivf", lambda: similarity.knn_join_ivf(
+        emb_ds, k=1, n_centroids=16).count())
 
     from apacheorcdotnet_ray.pipelines import joins, pack
 
