@@ -159,6 +159,59 @@ class OrcFile:
                self._stripe_footer(self.stripes[0]).get(2, [])]
         return enc[column].get(1, [0])[0]
 
+    def read_decimal_column(self, column: int) -> list:
+        """Decode a decimal column (DIRECT_V2): DATA = zigzag varint
+        mantissas (our ``codecs.varint``), SECONDARY = signed RLEv2 scales,
+        PRESENT = boolean RLE. Returns ``decimal.Decimal`` values with None
+        for nulls — drives three repo codecs against independent bytes."""
+        from decimal import Decimal
+
+        from ..codecs import varint
+
+        out: list = []
+        for st in self.stripes:
+            streams = self._column_streams(st, column)
+            mant = varint.decode(streams[_KIND_DATA], signed=True)
+            scale = rlev2.decode(streams[5], signed=True)  # SECONDARY
+            if len(scale) != len(mant):  # pragma: no cover
+                raise ValueError("scale/mantissa count mismatch")
+            vals = [Decimal(int(m)).scaleb(-int(s))
+                    for m, s in zip(mant, scale)]
+            if _KIND_PRESENT in streams:
+                present = bool_rle.decode(streams[_KIND_PRESENT],
+                                          st.number_of_rows)
+                it = iter(vals)
+                vals = [next(it) if p else None for p in present]
+            out.extend(vals)
+        return out
+
+    def read_string_column(self, column: int) -> list:
+        """Decode a string column across all stripes: DICTIONARY_V2
+        (DATA = unsigned RLEv2 dictionary ids, DICTIONARY_DATA = packed
+        UTF-8, LENGTH = unsigned RLEv2 entry lengths) or DIRECT_V2
+        (DATA = packed UTF-8, LENGTH = unsigned RLEv2 row lengths) —
+        both drive the repo's RLEv2 decoder on the unsigned path."""
+        out: list = []
+        for st in self.stripes:
+            enc = self.column_encoding(column)
+            streams = self._column_streams(st, column)
+            lengths = rlev2.decode(streams[_KIND_LENGTH], signed=False)
+            if enc == _ENC_DICTIONARY_V2:
+                blob = streams[_KIND_DICTIONARY_DATA]
+                offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+                entries = [blob[offs[i]:offs[i + 1]].decode("utf-8")
+                           for i in range(len(lengths))]
+                ids = rlev2.decode(streams[_KIND_DATA], signed=False)
+                out.extend(entries[int(i)] for i in ids)
+            elif enc == _ENC_DIRECT_V2:
+                blob = streams[_KIND_DATA]
+                offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+                out.extend(blob[offs[i]:offs[i + 1]].decode("utf-8")
+                           for i in range(len(lengths)))
+            else:  # pragma: no cover
+                raise NotImplementedError(f"string encoding {enc}")
+        return out
+
     def read_int_column(self, column: int) -> np.ndarray:
         """Decode an integer column (DIRECT_V2) across all stripes with the
         repo's RLEv2 decoder; PRESENT (if any) via the boolean-RLE decoder.

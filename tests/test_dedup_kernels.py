@@ -109,3 +109,41 @@ def test_dup_ngram_spans(ray_session):
     h = dup_ngram_spans(ds, n=4, hashed=True, num_partitions=8).to_pandas() \
         .set_index("doc_id").sort_index()
     assert (h["n_dup"] == out["n_dup"]).all()
+
+
+def test_verify_pairs_jaccard_join_path_matches_broadcast(ray_session):
+    """The distributed join path (candidate sets above the broadcast
+    threshold) must produce exactly what the broadcast fast path does —
+    it is the 100-TB branch the small-scale gate never exercises."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.dedup import (
+        _verify_pairs_jaccard, dedup_minhash_lsh)
+
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),     # near-dup of 1
+        (3, "a b c d e f g h"),     # exact dup of 1
+        (4, "p q r s t u v w"),
+        (5, "completely different words here now"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": [t for _, t in docs]})).repartition(2)
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 1, 2, 1], type=pa.int64()),
+        "doc_b": pa.array([2, 3, 3, 4], type=pa.int64()),
+    })).materialize()
+    bc = _verify_pairs_jaccard(ds, pairs, k=3, jaccard_threshold=0.5) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    jn = _verify_pairs_jaccard(ds, pairs, k=3, jaccard_threshold=0.5,
+                               broadcast_pairs=0) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert bc.equals(jn)
+    assert (1, 3) in set(zip(bc["doc_a"], bc["doc_b"]))  # exact dup found
+    assert np.isclose(bc.set_index(["doc_a", "doc_b"]).loc[(1, 3), "jaccard"], 1.0)
+    # end-to-end LSH agrees with the exact dup
+    full = dedup_minhash_lsh(ds, jaccard_threshold=1.0).to_pandas()
+    assert set(zip(full["doc_a"], full["doc_b"])) == {(1, 3)}

@@ -55,3 +55,30 @@ def test_matches_pyarrow_orc(demo):
     ours = demo.read_int_column(1)
     theirs = t.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
     assert (ours == theirs).all()
+
+
+@pytest.mark.parametrize("column", [2, 3, 4, 6])
+def test_string_columns_match_pyarrow(demo, column):
+    """DICTIONARY_V2 string columns (unsigned RLEv2 ids + lengths) decoded
+    with the repo codecs, cross-checked against pyarrow's C++ ORC reader."""
+    po = pytest.importorskip("pyarrow.orc")
+    t = po.ORCFile(DEMO).read()
+    ours = demo.read_string_column(column)
+    theirs = t.column(column - 1).to_pylist()
+    assert demo.column_encoding(column) == 3  # DICTIONARY_V2
+    assert ours == theirs
+
+
+def test_decimal_column_matches_pyarrow():
+    """decimal.orc: zigzag-varint mantissas + signed-RLEv2 scales + a real
+    PRESENT stream (2,000 nulls) — three repo codecs (varint, rlev2,
+    bool_rle) against independently written bytes."""
+    po = pytest.importorskip("pyarrow.orc")
+    path = "/root/reference/test/ApacheOrcDotNet.Test/Data/decimal.orc"
+    if not os.path.exists(path):
+        pytest.skip("reference decimal.orc not present")
+    ours = OrcFile(path).read_decimal_column(1)
+    theirs = po.ORCFile(path).read().column(0).to_pylist()
+    assert len(ours) == 6000
+    assert sum(v is None for v in ours) == 2000
+    assert ours == theirs  # Decimal equality is numeric-exact

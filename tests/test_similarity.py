@@ -107,3 +107,33 @@ def test_knn_join_matches_local(ray_session):
         expect = np.argsort(-sims[i])[:2]
         assert row["nn_id"].tolist() == expect.tolist()
     assert len(out) == 2 * n
+
+
+def test_knn_join_ivf_exact_and_approx(ray_session):
+    """Bucketed kNN self-join: exact at n_probe=n_centroids (every pair
+    scored in exactly one bucket), recall<1 but well-formed at n_probe=1."""
+    import numpy as np
+
+    from apacheorcdotnet_ray.pipelines.similarity import knn_join, knn_join_ivf
+
+    rng = np.random.default_rng(23)
+    n, d = 150, 16
+    m = rng.normal(size=(n, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in m],
+                              type=pa.list_(pa.float64())),
+    })).repartition(4)
+    base = knn_join(ds, k=2).to_pandas().sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True)
+    ivf = knn_join_ivf(ds, k=2, n_centroids=4).to_pandas().sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True)
+    assert len(ivf) == len(base) == 2 * n
+    assert ivf["nn_id"].tolist() == base["nn_id"].tolist()
+    assert np.allclose(ivf["cosine"], base["cosine"])
+    # approximate: one probed bucket -> every vector still gets k rows,
+    # each reported neighbor is a real vector, ranks are 0..k-1
+    approx = knn_join_ivf(ds, k=2, n_centroids=4, n_probe=1).to_pandas()
+    assert len(approx) == 2 * n
+    assert set(approx["rank"]) == {0, 1}
+    assert set(approx["nn_id"]).issubset(set(range(n)))
