@@ -293,6 +293,33 @@ def _hash_join(sf_dir: str):
     )
 
 
+def _full_outer_join(sf_dir: str):
+    """Full outer equi-join through the co-partitioned repartition path
+    (each key's rows from BOTH sides land in one partition, so the
+    per-partition full outer is globally correct): customers without
+    orders survive left-only, orders of filtered-out customers right-only."""
+    import pyarrow.compute as pc
+
+    from apacheorcdotnet_ray.pipelines.joins import hash_join
+
+    def mod_filter(col, m):
+        def fn(b):
+            return b.filter(pc.equal(
+                pc.bit_wise_and(b.column(col), m - 1) if (m & (m - 1)) == 0
+                else pc.subtract(b.column(col),
+                                 pc.multiply(pc.divide(b.column(col), m),
+                                             m)), 0))
+        return fn
+
+    left = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .map_batches(mod_filter("c_custkey", 2), batch_format="pyarrow")
+    right = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                             "o_totalprice"]) \
+        .map_batches(mod_filter("o_orderkey", 5), batch_format="pyarrow") \
+        .select_columns(["o_custkey", "o_totalprice"])
+    return hash_join(left, right, "c_custkey", "o_custkey", how="full")
+
+
 def _bm25_index_search(sf_dir: str):
     """BM25 from a MATERIALIZED inverted index (postings parquet partitioned
     by term-hash bucket, built once): search reads only the query terms'
@@ -902,8 +929,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_union": _set_union,
         "distinct_sources": _distinct_sources,
         "hash_join": _hash_join,
+        "full_outer_join": _full_outer_join,
         "semi_join": _semi_join,
         "anti_join": _anti_join,
+        "group_dense_rank": lambda sf_dir: stats.group_dense_rank(
+            _read(sf_dir, "events",
+                  columns=["event_id", "user_id", "event_type"])),
         # --- (5) double-verified (rounds 1 AND 2) ---
         "roundtrip_lineitem": roundtrip("lineitem"),
         "roundtrip_orders": roundtrip("orders"),
@@ -977,7 +1008,8 @@ _DRIVER_WINDOW_FIRST = [
     "predicate_scan_stride", "predicate_scan_conj", "predicate_scan_sorted",
     "predicate_scan_bloom", "predicate_scan_zorder", "grouped_source_scan",
     "footer_stats_lineitem", "rollup_by_source", "sliding_window_agg",
-    "group_quantile", "pivot_event_counts",
+    # new this round (no driver row yet)
+    "full_outer_join", "group_dense_rank",
 ]
 
 
@@ -1818,6 +1850,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,"
             " o.o_custkey, o.o_totalprice"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "full_outer_join": (
+            "SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,"
+            " c.c_name, o.o_totalprice"
+            " FROM (SELECT c_custkey, c_name FROM customer"
+            "   WHERE c_custkey % 2 = 0) c"
+            " FULL OUTER JOIN (SELECT o_custkey, o_totalprice FROM orders"
+            "   WHERE o_orderkey % 5 = 0) o"
+            " ON c.c_custkey = o.o_custkey"
+        ),
+        "group_dense_rank": (
+            "SELECT event_id, user_id, CAST(DENSE_RANK() OVER ("
+            " PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS drank"
+            " FROM events"
         ),
         "asof_join": (
             "WITH r AS (SELECT o_custkey AS k, o_orderdate AS t,"

@@ -218,10 +218,12 @@ def hash_join(
     Re-evaluate the default when Dataset.join can pipeline aggregators.
 
     Output columns: left's, then right's minus its key (same contract as
-    ``repartition_join``). ``how``: inner | left."""
+    ``repartition_join``). ``how``: inner | left | full (full outer always
+    takes the repartition path — a broadcast or clamped-native plan cannot
+    emit unmatched right rows without global coordination)."""
     l_cols = list(left.schema().names)
     r_cols = [c for c in right.schema().names if c != right_on]
-    if broadcast_threshold > 0:
+    if broadcast_threshold > 0 and how in ("inner", "left"):
         right = right.materialize()  # blocks pinned once; count is then free
         if right.count() <= broadcast_threshold:
             from .setops import to_arrow_table
@@ -232,7 +234,7 @@ def hash_join(
                 left, small, left_on, right_on, join_type=bc_type
             ).map_batches(lambda b: b.select(l_cols + r_cols),
                           batch_format="pyarrow")
-    if native and hasattr(rd.Dataset, "join"):
+    if native and how in ("inner", "left") and hasattr(rd.Dataset, "join"):
         import ray
 
         join_type = {"inner": "inner", "left": "left_outer"}[how]
@@ -264,7 +266,9 @@ def repartition_join(
     buffers for all-null columns, and the per-row side tag adds ~10 B/row)
     — prefer ``hash_join``.
 
-    Non-key column names must be disjoint. ``how``: inner | left.
+    Non-key column names must be disjoint. ``how``: inner | left | full
+    (co-partitioning makes the per-partition full outer globally correct:
+    every row of a key, from both sides, lands in exactly one partition).
     Partitioning assumption: all rows of one key fit in one partition."""
     import pyarrow.compute as pc
 
@@ -307,7 +311,8 @@ def repartition_join(
         return batch.append_column(
             "_pk", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
 
-    join_type = {"inner": "inner", "left": "left outer"}[how]
+    join_type = {"inner": "inner", "left": "left outer",
+                 "full": "full outer"}[how]
 
     def merge_part(tbl: pa.Table) -> pa.Table:
         # Arrow hash join inside the partition: type-preserving (no pandas
@@ -363,11 +368,14 @@ def bloom_semi_join(
     filter of the keys broadcasts instead (~10 bits/key ≈ 1% FP — an order
     of magnitude leaner than exact 64-bit keys, the difference between a
     1.25 GB and a 16 GB broadcast at 10^9 keys), prefiltering the left
-    stream so only probable matches pay the exact co-partition verify
-    shuffle. Output == exact semi join — Bloom false positives are removed
-    by the verify stage; the FP rate only adds shuffled volume. Both sides
-    hash identical single-column tables (column renamed to the same name),
-    so probe positions agree regardless of source column names."""
+    stream. Output == exact semi join — Bloom false positives are removed
+    by a KEY-ONLY verify: the FP key set (≈ FP-rate × |left distinct keys|,
+    itself broadcastable) comes from one bounded set difference over keys,
+    then a per-batch anti-filter. Payload rows NEVER shuffle; the left
+    streams twice (key projection + final filter), which at corpus scale
+    beats one pass + an all-to-all of every surviving row. Both sides hash
+    identical single-column tables (column renamed to the same name), so
+    probe positions agree regardless of source column names."""
     import polars as pl
     import ray
 
@@ -424,9 +432,29 @@ def bloom_semi_join(
         return batch.filter(pa.array(hit.all(axis=0)))
 
     survivors = ds.map_batches(prefilter, batch_format="pyarrow")
-    # exact verify: inner repartition join against the DISTINCT key set is
-    # precisely the semi join, and only Bloom-probable rows reach it
-    verify_keys = rkeys.map_batches(
-        lambda b: b.rename_columns(["_bsj_key"]), batch_format="pyarrow")
-    return repartition_join(survivors, verify_keys, left_on, "_bsj_key",
-                            how="inner", num_partitions=num_partitions)
+    # exact verify WITHOUT moving payload rows: the Bloom's false-positive
+    # KEY set (survivor keys that aren't real right keys) is ~FP-rate×
+    # |left distinct keys| — small enough to broadcast — so one key-only
+    # set difference (bounded shuffle of keys, never rows) plus a per-batch
+    # anti-filter finishes the semi join where a repartition join would
+    # ship every survivor row through a second all-to-all.
+    from .setops import except_, to_arrow_table
+
+    surv_keys = survivors.map_batches(
+        lambda b: pa.table({"_k": b.column(left_on).cast(l_type)}),
+        batch_format="pyarrow")
+    fp_keys = to_arrow_table(except_(surv_keys, rkeys, ["_k"])).column("_k")
+    fp_ref = ray.put(fp_keys.combine_chunks()
+                     if isinstance(fp_keys, pa.ChunkedArray) else fp_keys)
+
+    def drop_fps(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fps = ray.get(fp_ref)
+        if len(fps) == 0:
+            return batch
+        mask = pc.invert(pc.is_in(batch.column(left_on).cast(l_type),
+                                  value_set=fps))
+        return batch.filter(mask)
+
+    return survivors.map_batches(drop_fps, batch_format="pyarrow")

@@ -828,3 +828,44 @@ def row_number_global(
 
     stamped = [_stamp.remote(r, int(o)) for r, o in zip(sorted_refs, offsets)]
     return rd.from_arrow_refs(stamped)
+
+
+def group_dense_rank(
+    ds: rd.Dataset, key: str = "user_id", val: str = "event_type",
+    id_col: str = "event_id", num_partitions: int = 64,
+) -> rd.Dataset:
+    """DENSE_RANK() OVER (PARTITION BY key ORDER BY val): one bounded hash
+    shuffle co-locates each key's rows; inside a partition the ranks for
+    ALL rows come from one sort + two change-point cumsums — no per-key
+    Python loop (same composite-vectorization discipline as
+    range_join_follow_counts)."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _grouped_map
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: np.array([], dtype=np.int64),
+                                 key: np.array([], dtype=np.int64),
+                                 "drank": np.array([], dtype=np.int64)})
+        df = df.sort_values([key, val], kind="mergesort")
+        k = df[key].to_numpy()
+        v = df[val].to_numpy()
+        new_key = np.ones(len(df), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        new_val = new_key.copy()
+        new_val[1:] |= v[1:] != v[:-1]
+        # dense rank = distinct-values-so-far within the key group:
+        # global cumsum of value changes, rebased at each key start
+        cum = np.cumsum(new_val)
+        base = np.repeat(cum[new_key] - 1, np.diff(
+            np.append(np.nonzero(new_key)[0], len(df))))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            key: k,
+            "drank": (cum - base).astype(np.int64),
+        })
+
+    return _grouped_map(ds.select_columns([id_col, key, val]), [key],
+                        rank_part, num_partitions)
