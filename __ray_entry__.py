@@ -293,6 +293,31 @@ def _hash_join(sf_dir: str):
     )
 
 
+def _orc_file_roundtrip(sf_dir: str):
+    """REAL ORC interop inside the correctness gate: the documents table is
+    written as .orc files by this repo's writer (Ray sink, our RLEv2/
+    bool-RLE/length codecs) and read back by pyarrow's INDEPENDENT C++ ORC
+    reader — the oracle is a plain SELECT, so any spec deviation in our
+    encoder bytes fails the value hash."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc_dataset
+
+    out = _out_dir(sf_dir, "orc-sink")
+    done = os.path.join(out, "_built")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_orc_dataset(_read(sf_dir, "documents"), out)
+        open(done, "w").close()
+    return pa.concat_tables(
+        [po.ORCFile(p).read() for p in sorted(glob.glob(out + "/*.orc"))])
+
+
 def _full_outer_join(sf_dir: str):
     """Full outer equi-join through the co-partitioned repartition path
     (each key's rows from BOTH sides land in one partition, so the
@@ -929,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_union": _set_union,
         "distinct_sources": _distinct_sources,
         "hash_join": _hash_join,
+        "orc_file_roundtrip": _orc_file_roundtrip,
         "full_outer_join": _full_outer_join,
         "semi_join": _semi_join,
         "anti_join": _anti_join,
@@ -1007,9 +1033,9 @@ _DRIVER_WINDOW_FIRST = [
     "roundtrip_structs", "roundtrip_decimal38", "json_struct_roundtrip",
     "predicate_scan_stride", "predicate_scan_conj", "predicate_scan_sorted",
     "predicate_scan_bloom", "predicate_scan_zorder", "grouped_source_scan",
-    "footer_stats_lineitem", "rollup_by_source", "sliding_window_agg",
+    "footer_stats_lineitem", "rollup_by_source",
     # new this round (no driver row yet)
-    "full_outer_join", "group_dense_rank",
+    "full_outer_join", "group_dense_rank", "orc_file_roundtrip",
 ]
 
 
@@ -1851,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
             " o.o_custkey, o.o_totalprice"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
+        "orc_file_roundtrip": "SELECT * FROM documents",
         "full_outer_join": (
             "SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,"
             " c.c_name, o.o_totalprice"

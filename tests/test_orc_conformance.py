@@ -82,3 +82,77 @@ def test_decimal_column_matches_pyarrow():
     assert len(ours) == 6000
     assert sum(v is None for v in ours) == 2000
     assert ours == theirs  # Decimal equality is numeric-exact
+
+
+def test_write_orc_read_by_pyarrow(tmp_path):
+    """WRITE interop: this repo's codecs emit a real .orc file that the
+    Apache C++ reader (pyarrow.orc) accepts with exact value fidelity —
+    ints (RLEv2), strings (DIRECT_V2), doubles, bools, nulls (PRESENT)."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    po = pytest.importorskip("pyarrow.orc")
+    t = pa.table({
+        "i": pa.array([1, None, 3, None, 5, -2**40, 7, 2**50],
+                      type=pa.int64()),
+        "s": pa.array(["a", "bb", None, "", "ccc", None, "dd", "e"],
+                      type=pa.string()),
+        "d": pa.array([1.5, None, 3.25, float("nan"), -0.0, 2.0, 1e300, -1.0],
+                      type=pa.float64()),
+        "b": pa.array([True, False, None, True, None, False, True, True]),
+    })
+    for comp in ("zlib", "none"):
+        p = str(tmp_path / f"t_{comp}.orc")
+        write_orc(t, p, compression=comp)
+        back = po.ORCFile(p).read()
+        assert back.column_names == t.column_names
+        for c in t.column_names:
+            a, b = t.column(c).to_pylist(), back.column(c).to_pylist()
+            assert all((x is None and y is None) or x == y
+                       or (x != x and y != y)  # NaN
+                       for x, y in zip(a, b)), c
+
+
+def test_write_orc_read_by_own_reader(tmp_path):
+    """Round-trip through BOTH ends of this repo's ORC stack."""
+    import numpy as np
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_reader import OrcFile
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-2**31, 2**31, size=25_000)
+    words = np.array(["alpha", "beta", "gamma", "delta"])[vals % 4]
+    t = pa.table({"v": pa.array(vals, type=pa.int64()),
+                  "w": pa.array(words, type=pa.string())})
+    p = str(tmp_path / "own.orc")
+    write_orc(t, p, compression="zlib")
+    f = OrcFile(p)
+    assert f.number_of_rows == 25_000
+    assert (f.read_int_column(1) == vals).all()
+    assert f.read_string_column(2) == words.tolist()
+
+
+def test_write_orc_dataset_sink(ray_session, tmp_path):
+    """The Ray Data sink writes one .orc per block (atomic publish) and the
+    whole directory reads back exactly through pyarrow."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc_dataset
+
+    po = pytest.importorskip("pyarrow.orc")
+    t = pa.table({"k": pa.array(range(10_000), type=pa.int64()),
+                  "s": pa.array([f"s{i % 97}" for i in range(10_000)])})
+    ds = rd.from_arrow(t).repartition(4)
+    out = str(tmp_path / "orc_out")
+    n = write_orc_dataset(ds, out)
+    files = sorted(glob.glob(out + "/*.orc"))
+    assert n == len(files) == 4
+    back = pa.concat_tables([po.ORCFile(p).read() for p in files])
+    assert back.num_rows == 10_000
+    assert sorted(back.column("k").to_pylist()) == list(range(10_000))
