@@ -318,6 +318,31 @@ def _orc_file_roundtrip(sf_dir: str):
         [po.ORCFile(p).read() for p in sorted(glob.glob(out + "/*.orc"))])
 
 
+def _orc_file_roundtrip_events(sf_dir: str):
+    """Same interop gate over the events table — timestamps (two-stream
+    ORC layout) and doubles cross the independent-reader boundary too."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc_dataset
+
+    out = _out_dir(sf_dir, "orc-sink-events")
+    done = os.path.join(out, "_built")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_orc_dataset(_read(sf_dir, "events"), out)
+        open(done, "w").close()
+    t = pa.concat_tables(
+        [po.ORCFile(p).read() for p in sorted(glob.glob(out + "/*.orc"))])
+    # pyarrow reads ORC timestamps as ns; the oracle view is us
+    return t.set_column(t.schema.get_field_index("ts"), "ts",
+                        t.column("ts").cast(pa.timestamp("us")))
+
+
 def _full_outer_join(sf_dir: str):
     """Full outer equi-join through the co-partitioned repartition path
     (each key's rows from BOTH sides land in one partition, so the
@@ -955,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": _distinct_sources,
         "hash_join": _hash_join,
         "orc_file_roundtrip": _orc_file_roundtrip,
+        "orc_file_roundtrip_events": _orc_file_roundtrip_events,
         "full_outer_join": _full_outer_join,
         "semi_join": _semi_join,
         "anti_join": _anti_join,
@@ -1033,9 +1059,10 @@ _DRIVER_WINDOW_FIRST = [
     "roundtrip_structs", "roundtrip_decimal38", "json_struct_roundtrip",
     "predicate_scan_stride", "predicate_scan_conj", "predicate_scan_sorted",
     "predicate_scan_bloom", "predicate_scan_zorder", "grouped_source_scan",
-    "footer_stats_lineitem", "rollup_by_source",
+    "footer_stats_lineitem",
     # new this round (no driver row yet)
     "full_outer_join", "group_dense_rank", "orc_file_roundtrip",
+    "orc_file_roundtrip_events",
 ]
 
 
@@ -1878,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
         "orc_file_roundtrip": "SELECT * FROM documents",
+        "orc_file_roundtrip_events": "SELECT * FROM events",
         "full_outer_join": (
             "SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,"
             " c.c_name, o.o_totalprice"

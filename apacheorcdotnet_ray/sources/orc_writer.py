@@ -13,8 +13,11 @@ through BOTH pyarrow's independent C++ ORC reader and this repo's
 ``orc_reader``.
 
 Supported column types: int8/16/32/64 → LONG, string, float64 → DOUBLE,
-bool → BOOLEAN; nullable throughout. (Timestamps/decimals/nested types
-stay on the repo's own container format, which is the production surface.)
+bool → BOOLEAN, timestamp → TIMESTAMP (the container's shared two-stream
+kernel: floor-division seconds + trailing-zero-stripped nanos), date32 →
+DATE, decimal(≤18 digits) → DECIMAL (varint mantissas + RLEv2 scales);
+nullable throughout. Nested types stay on the repo's own container format,
+which is the production surface.
 """
 
 from __future__ import annotations
@@ -56,8 +59,9 @@ def pb_msg(*fields: bytes) -> bytes:
 
 # --- stream building ---------------------------------------------------------
 
-_KIND = {"PRESENT": 0, "DATA": 1, "LENGTH": 2}
+_KIND = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "SECONDARY": 5}
 _TYPE_LONG, _TYPE_STRING, _TYPE_DOUBLE, _TYPE_BOOLEAN, _TYPE_STRUCT = 4, 7, 6, 0, 12
+_TYPE_TIMESTAMP, _TYPE_DECIMAL, _TYPE_DATE = 9, 14, 15
 _ENC_DIRECT, _ENC_DIRECT_V2 = 0, 2
 
 
@@ -98,6 +102,35 @@ def _column_streams(col: pa.ChunkedArray | pa.Array) -> tuple[int, list[tuple[st
         vals = arr.to_numpy(zero_copy_only=False).astype("<f8")
         streams.append(("DATA", vals.tobytes()))
         return _TYPE_DOUBLE, streams
+    if pa.types.is_timestamp(t):
+        # ORC two-stream layout (shared kernel with the repo container):
+        # DATA = signed seconds since 2015-01-01 UTC, SECONDARY = nanos
+        # with trailing decimal zeros stripped, (scaled << 3) | zeros
+        from ..stripe.columns import _encode_orc_nanos, _ORC_EPOCH_S, _UNIT_FACTOR
+
+        factor = _UNIT_FACTOR[t.unit]
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        secs = v // factor - _ORC_EPOCH_S
+        nanos = (v % factor) * (1_000_000_000 // factor)
+        streams.append(("DATA", rlev2.encode(secs, signed=True)))
+        streams.append(("SECONDARY",
+                        rlev2.encode(_encode_orc_nanos(nanos), signed=False)))
+        return _TYPE_TIMESTAMP, streams
+    if pa.types.is_date(t):
+        days = arr.cast(pa.int32()).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        streams.append(("DATA", rlev2.encode(days, signed=True)))
+        return _TYPE_DATE, streams
+    if pa.types.is_decimal(t):
+        from ..codecs import varint
+
+        mant = np.array([int(v.as_py().scaleb(t.scale)) for v in arr],
+                        dtype=np.int64)
+        streams.append(("DATA", varint.encode(mant, signed=True)))
+        streams.append(("SECONDARY", rlev2.encode(
+            np.full(len(arr), t.scale, dtype=np.int64), signed=True)))
+        return (_TYPE_DECIMAL,
+                pb_field(5, t.precision) + pb_field(6, t.scale)), streams
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         sa = arr.cast(pa.large_string())
         offs = np.frombuffer(sa.buffers()[1], dtype=np.int64,
@@ -121,11 +154,15 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
     stream_recs: list[tuple[int, int, bytes]] = []  # (kind, column, framed)
     kinds: list[int] = []
     encodings = [pb_msg(pb_field(1, _ENC_DIRECT))]  # root struct
+    extras: list[bytes] = []
     for ci in range(n_cols):
         tkind, streams = _column_streams(table.column(ci))
+        tkind, extra = tkind if isinstance(tkind, tuple) else (tkind, b"")
         kinds.append(tkind)
-        enc = _ENC_DIRECT_V2 if tkind in (_TYPE_LONG, _TYPE_STRING) \
-            else _ENC_DIRECT
+        extras.append(extra)
+        enc = _ENC_DIRECT_V2 if tkind in (_TYPE_LONG, _TYPE_STRING,
+                                          _TYPE_TIMESTAMP, _TYPE_DATE,
+                                          _TYPE_DECIMAL) else _ENC_DIRECT
         encodings.append(pb_msg(pb_field(1, enc)))
         for sk, raw in streams:
             stream_recs.append((_KIND[sk], ci + 1, _frame(raw, compression)))
@@ -136,6 +173,7 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
                              pb_field(3, len(framed))))
           for k, c, framed in stream_recs],
         *[pb_field(2, e) for e in encodings],
+        pb_field(3, "UTC"),  # writerTimezone (timestamps are UTC-normalized)
     )
     stripe_footer_framed = _frame(stripe_footer, compression)
 
@@ -143,7 +181,7 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
     types = [pb_msg(pb_field(1, _TYPE_STRUCT),
                     *[pb_field(2, i + 1) for i in range(n_cols)],
                     *[pb_field(3, name) for name in table.column_names])]
-    types += [pb_msg(pb_field(1, k)) for k in kinds]
+    types += [pb_msg(pb_field(1, k) + x) for k, x in zip(kinds, extras)]
 
     stripe_offset = 3  # after magic
     stripe_info = pb_msg(

@@ -156,3 +156,37 @@ def test_write_orc_dataset_sink(ray_session, tmp_path):
     back = pa.concat_tables([po.ORCFile(p).read() for p in files])
     assert back.num_rows == 10_000
     assert sorted(back.column("k").to_pylist()) == list(range(10_000))
+
+
+def test_write_orc_temporal_decimal(tmp_path):
+    """Timestamps (incl. pre-2015 and pre-1970 — floor-division seconds),
+    date32 and decimal columns written by our codecs, read by pyarrow."""
+    import datetime
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    po = pytest.importorskip("pyarrow.orc")
+    t = pa.table({
+        "ts": pa.array([
+            datetime.datetime(2024, 1, 10, 12, 30, 15, 123456), None,
+            datetime.datetime(2010, 6, 1, 0, 0, 0, 500000),
+            datetime.datetime(2015, 1, 1),
+            datetime.datetime(1969, 12, 31, 23, 59, 59),
+        ], type=pa.timestamp("us")),
+        "d": pa.array([datetime.date(2024, 1, 1), None,
+                       datetime.date(1969, 1, 1),
+                       datetime.date(2000, 2, 29),
+                       datetime.date(2015, 7, 4)]),
+        "dec": pa.array([Decimal("12.345"), Decimal("-0.001"), None,
+                         Decimal("99999.999"), Decimal("0.000")],
+                        type=pa.decimal128(10, 3)),
+    })
+    p = str(tmp_path / "tsdec.orc")
+    write_orc(t, p)
+    back = po.ORCFile(p).read()
+    for c in t.column_names:
+        got = back.column(c).cast(t.column(c).type).to_pylist()
+        assert got == t.column(c).to_pylist(), c
