@@ -4,18 +4,23 @@ reference pins its readers to — /root/reference/test/ApacheOrcDotNet.Test/
 Data/demo-12-zlib.orc, expected values at ColumnTypes/LongReader_Test.cs:24-102
 and Protocol/ExpectedOutput.txt).
 
-Scope is deliberately narrow — the repo's own container format is the
-production surface (SURVEY §2.6 C4 blessed deviation); this module exists so
-the RLEv2 / boolean-RLE decoders are proven against bytes this codebase never
-wrote:
+The repo's own container format remains the production surface (SURVEY
+§2.6 C4 blessed deviation); this module proves the codec stack against
+bytes this codebase never wrote and gives the engine a real ``.orc``
+source:
 
 - protobuf tail parsing via a ~40-line wire-format reader (no protobuf dep;
   field numbers from the public ORC spec — the reference's generated
   Protocol/*.cs carries the same public schema);
 - ORC compressed-stream framing (3-byte little-endian chunk headers,
   ``(len << 1) | is_original``; raw-deflate bodies for ZLIB);
-- integer columns: DIRECT_V2 (our ``codecs.rlev2.decode``) and the PRESENT
-  boolean-RLE stream (our ``codecs.bool_rle``).
+- column decoders driving the repo codecs: DIRECT_V2 ints (``rlev2``),
+  DICTIONARY_V2/DIRECT_V2 strings, doubles/floats, booleans, two-stream
+  timestamps, dates, decimals (``varint`` mantissas), PRESENT null masks
+  (``bool_rle``);
+- ``read_table(columns=...)`` prunes at the decode (unrequested streams
+  never decompress); ``read_orc_files`` is the Ray Data source (one decode
+  task per file).
 """
 
 from __future__ import annotations
@@ -159,6 +164,103 @@ class OrcFile:
                self._stripe_footer(self.stripes[0]).get(2, [])]
         return enc[column].get(1, [0])[0]
 
+    def field_names(self) -> list[str]:
+        return [v.decode("utf-8") for v in self.types[0].get(3, [])]
+
+    def read_table(self, columns: list[str] | None = None) -> "pa.Table":  # noqa: F821
+        """Decode every supported column (LONG/INT/SHORT, STRING, DOUBLE,
+        FLOAT, BOOLEAN, TIMESTAMP, DATE, DECIMAL — nulls via PRESENT) into
+        one Arrow table, entirely through this repo's codecs. ``columns``
+        prunes at the decode: unrequested columns' streams are never
+        decompressed."""
+        import pyarrow as pa
+
+        names = self.field_names()
+        cols = {}
+        for ci, name in enumerate(names, start=1):
+            if columns is not None and name not in columns:
+                continue
+            cols[name] = self._read_any_column(ci)
+        return pa.table(cols)
+
+    def _read_any_column(self, column: int):
+        import pyarrow as pa
+
+        kind = self.types[column].get(1, [0])[0]
+        parts = []
+        for st in self.stripes:
+            streams = self._column_streams(st, column)
+            present = None
+            if _KIND_PRESENT in streams:
+                present = bool_rle.decode(streams[_KIND_PRESENT],
+                                          st.number_of_rows)
+            if kind in (2, 3, 4):  # SHORT / INT / LONG
+                vals = rlev2.decode(streams[_KIND_DATA], signed=True)
+                arr = pa.array(vals.astype(np.int64))
+            elif kind == 0:  # BOOLEAN
+                n_vals = int(present.sum()) if present is not None \
+                    else st.number_of_rows
+                arr = pa.array(bool_rle.decode(streams[_KIND_DATA], n_vals)
+                               .astype(bool))
+            elif kind == 6:  # DOUBLE
+                arr = pa.array(np.frombuffer(streams[_KIND_DATA],
+                                             dtype="<f8"))
+            elif kind == 5:  # FLOAT
+                arr = pa.array(np.frombuffer(streams[_KIND_DATA],
+                                             dtype="<f4"))
+            elif kind == 7:  # STRING
+                lengths = rlev2.decode(streams[_KIND_LENGTH], signed=False)
+                if self.column_encoding(column) == _ENC_DICTIONARY_V2:
+                    blob = streams[_KIND_DICTIONARY_DATA]
+                    offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+                    entries = [blob[offs[i]:offs[i + 1]].decode("utf-8")
+                               for i in range(len(lengths))]
+                    ids = rlev2.decode(streams[_KIND_DATA], signed=False)
+                    arr = pa.array([entries[int(i)] for i in ids],
+                                   type=pa.string())
+                else:
+                    blob = streams[_KIND_DATA]
+                    offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+                    arr = pa.array(
+                        [blob[offs[i]:offs[i + 1]].decode("utf-8")
+                         for i in range(len(lengths))], type=pa.string())
+            elif kind == 9:  # TIMESTAMP (two-stream ORC layout)
+                from ..stripe.columns import _decode_orc_nanos, _ORC_EPOCH_S
+
+                secs = rlev2.decode(streams[_KIND_DATA], signed=True)
+                frac = rlev2.decode(streams[5], signed=False)
+                nanos = _decode_orc_nanos(frac.astype(np.int64))
+                us = (secs + _ORC_EPOCH_S) * 1_000_000 + nanos // 1_000
+                arr = pa.array(us).cast(pa.timestamp("us"))
+            elif kind == 15:  # DATE
+                days = rlev2.decode(streams[_KIND_DATA], signed=True)
+                arr = pa.array(days.astype(np.int32)).cast(pa.date32())
+            elif kind == 14:  # DECIMAL
+                from decimal import Decimal
+
+                from ..codecs import varint
+
+                mant = varint.decode(streams[_KIND_DATA], signed=True)
+                scale = rlev2.decode(streams[5], signed=True)
+                prec = self.types[column].get(5, [38])[0]
+                scl = self.types[column].get(6, [0])[0]
+                arr = pa.array([Decimal(int(m)).scaleb(-int(s))
+                                for m, s in zip(mant, scale)],
+                               type=pa.decimal128(prec, scl))
+            else:  # pragma: no cover
+                raise NotImplementedError(f"ORC type kind {kind}")
+            if present is not None:
+                # expand dense values to row slots, null where absent
+                import pyarrow.compute as pc
+
+                idx = np.maximum(np.cumsum(present) - 1, 0)
+                dense = arr.take(pa.array(idx))
+                arr = pc.if_else(pa.array(present), dense,
+                                 pa.nulls(st.number_of_rows, arr.type))
+            parts.append(arr.combine_chunks()
+                         if isinstance(arr, pa.ChunkedArray) else arr)
+        return pa.concat_arrays(parts)
+
     def read_decimal_column(self, column: int) -> list:
         """Decode a decimal column (DIRECT_V2): DATA = zigzag varint
         mantissas (our ``codecs.varint``), SECONDARY = signed RLEv2 scales,
@@ -238,3 +340,32 @@ class OrcFile:
                     f"{st.number_of_rows} rows")
             parts.append(vals.astype(np.int64))
         return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
+def read_orc_files(paths, columns: list[str] | None = None):
+    """Ray Data source over real ``.orc`` files: one decode task per file
+    (ORC stripes are this source's natural block unit), column-pruned at
+    the stream level — unrequested columns never decompress. ``paths``: a
+    directory, a glob, or an explicit list."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(_glob.glob(os.path.join(paths, "*.orc")))
+        else:
+            paths = sorted(_glob.glob(paths))
+    if not paths:
+        raise FileNotFoundError("no .orc files matched")
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = [OrcFile(p).read_table(columns=columns)
+                  for p in batch.column("path").to_pylist()]
+        return pa.concat_tables(tables)
+
+    return rd.from_items([{"path": p} for p in paths],
+                         override_num_blocks=len(paths)) \
+        .map_batches(decode, batch_format="pyarrow", batch_size=1)

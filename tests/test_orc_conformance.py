@@ -190,3 +190,65 @@ def test_write_orc_temporal_decimal(tmp_path):
     for c in t.column_names:
         got = back.column(c).cast(t.column(c).type).to_pylist()
         assert got == t.column(c).to_pylist(), c
+
+
+def test_read_table_full_stack(tmp_path):
+    """write_orc → OrcFile.read_table: every supported type incl. nulls,
+    NaN, pre-epoch timestamps — both ends of this repo's ORC stack."""
+    import datetime
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    t = pa.table({
+        "i": pa.array([1, None, 3, -2**40, None], type=pa.int64()),
+        "s": pa.array(["a", None, "ccc", "", "dd"], type=pa.string()),
+        "d": pa.array([1.5, None, float("nan"), -0.0, 1e300]),
+        "b": pa.array([True, None, False, True, False]),
+        "ts": pa.array([datetime.datetime(2024, 1, 10, 12, 30, 15, 123456),
+                        None, datetime.datetime(2010, 6, 1, 0, 0, 0, 500000),
+                        datetime.datetime(2015, 1, 1),
+                        datetime.datetime(1969, 12, 31, 23, 59, 59)],
+                       type=pa.timestamp("us")),
+        "dt": pa.array([datetime.date(2024, 1, 1), None,
+                        datetime.date(1969, 1, 1),
+                        datetime.date(2000, 2, 29),
+                        datetime.date(2015, 7, 4)]),
+        "dec": pa.array([Decimal("12.345"), None, Decimal("-0.001"),
+                         Decimal("99999.999"), Decimal("0.000")],
+                        type=pa.decimal128(10, 3)),
+    })
+    p = str(tmp_path / "own.orc")
+    write_orc(t, p)
+    back = OrcFile(p).read_table()
+    assert back.column_names == t.column_names
+    for c in t.column_names:
+        a, b = t.column(c).to_pylist(), back.column(c).to_pylist()
+        assert all((x is None and y is None) or x == y
+                   or (isinstance(x, float) and x != x and y != y)
+                   for x, y in zip(a, b)), c
+    # column pruning decodes only what's asked
+    pruned = OrcFile(p).read_table(columns=["i", "ts"])
+    assert pruned.column_names == ["i", "ts"]
+
+
+def test_read_orc_files_ray_source(ray_session, tmp_path):
+    """read_orc_files: Ray source over a directory of our .orc files,
+    column-pruned at the stream level."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.sources.orc_reader import read_orc_files
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc_dataset
+
+    t = pa.table({"k": pa.array(range(5000), type=pa.int64()),
+                  "s": pa.array([f"v{i % 13}" for i in range(5000)]),
+                  "x": pa.array([float(i) for i in range(5000)])})
+    out = str(tmp_path / "orcdir")
+    write_orc_dataset(rd.from_arrow(t).repartition(3), out)
+    ds = read_orc_files(out, columns=["k", "s"])
+    got = ds.to_pandas()
+    assert sorted(got.columns) == ["k", "s"]
+    assert sorted(got["k"]) == list(range(5000))
