@@ -363,19 +363,29 @@ def anti_join(ds: rd.Dataset, keys_ds: rd.Dataset, left_on: str,
 def bloom_semi_join(
     ds: rd.Dataset, keys_ds: rd.Dataset, left_on: str, right_on: str,
     bits_per_key: int = 10, num_partitions: int = 64,
+    verify: str = "rows",
 ) -> rd.Dataset:
     """Semi join for right key sets too large to broadcast exactly: a Bloom
     filter of the keys broadcasts instead (~10 bits/key ≈ 1% FP — an order
     of magnitude leaner than exact 64-bit keys, the difference between a
     1.25 GB and a 16 GB broadcast at 10^9 keys), prefiltering the left
-    stream. Output == exact semi join — Bloom false positives are removed
-    by a KEY-ONLY verify: the FP key set (≈ FP-rate × |left distinct keys|,
-    itself broadcastable) comes from one bounded set difference over keys,
-    then a per-batch anti-filter. Payload rows NEVER shuffle; the left
-    streams twice (key projection + final filter), which at corpus scale
-    beats one pass + an all-to-all of every surviving row. Both sides hash
-    identical single-column tables (column renamed to the same name), so
-    probe positions agree regardless of source column names."""
+    stream so only probable matches pay the exact verify. Output == exact
+    semi join either way; ``verify`` picks how Bloom false positives die:
+
+    - ``"rows"`` (default): co-partition the surviving rows against the
+      distinct key set with one repartition join. Measured FASTER at narrow
+      row widths (interleaved best-of-2 legs at sf0.1: 7.8–13.2 s vs the
+      key path's 10.8–22.5 s) — the verify is one shuffle stage and the
+      left streams once.
+    - ``"keys"``: one bounded KEY-ONLY set difference yields the FP key set
+      (≈ FP-rate × |left distinct keys|, broadcastable by construction),
+      then a per-batch anti-filter. Payload rows never shuffle but the left
+      streams twice — the right trade when rows are WIDE (row bytes ≫ key
+      bytes), e.g. document or embedding payloads.
+
+    Both sides hash identical single-column tables (column renamed to the
+    same name), so probe positions agree regardless of source column
+    names."""
     import polars as pl
     import ray
 
@@ -432,12 +442,13 @@ def bloom_semi_join(
         return batch.filter(pa.array(hit.all(axis=0)))
 
     survivors = ds.map_batches(prefilter, batch_format="pyarrow")
-    # exact verify WITHOUT moving payload rows: the Bloom's false-positive
-    # KEY set (survivor keys that aren't real right keys) is ~FP-rate×
-    # |left distinct keys| — small enough to broadcast — so one key-only
-    # set difference (bounded shuffle of keys, never rows) plus a per-batch
-    # anti-filter finishes the semi join where a repartition join would
-    # ship every survivor row through a second all-to-all.
+    if verify == "rows":
+        # exact verify: inner repartition join against the DISTINCT key set
+        # is precisely the semi join; only Bloom-probable rows reach it
+        verify_keys = rkeys.map_batches(
+            lambda b: b.rename_columns(["_bsj_key"]), batch_format="pyarrow")
+        return repartition_join(survivors, verify_keys, left_on, "_bsj_key",
+                                how="inner", num_partitions=num_partitions)
     from .setops import except_, to_arrow_table
 
     surv_keys = survivors.map_batches(

@@ -170,3 +170,31 @@ def test_oov_rate(ray_session):
     assert out.loc["s1", "n_tokens"] == 7 and out.loc["s1", "n_oov"] == 1
     assert out.loc["s2", "n_tokens"] == 4 and out.loc["s2", "n_oov"] == 3
     assert out.loc["s2", "oov_rate"] == 0.75
+
+
+def test_bloom_semi_join_verify_paths_equal(ray_session):
+    """The wide-row 'keys' verify (FP key-set diff + anti-filter) must
+    produce exactly the default row-shuffle verify's output."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.pipelines.joins import bloom_semi_join
+
+    rng = np.random.default_rng(5)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 3000, size=20_000), type=pa.int64()),
+        "payload": pa.array([f"p{i}" for i in range(20_000)]),
+    })
+    right = pa.table({"rk": pa.array(np.arange(0, 3000, 3), type=pa.int64())})
+
+    def run(verify):
+        return bloom_semi_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(2),
+            "k", "rk", verify=verify,
+        ).to_pandas().sort_values(["k", "payload"]).reset_index(drop=True)
+
+    a, b = run("rows"), run("keys")
+    assert len(a) and a.equals(b)
+    assert set(a["k"].unique()) <= set(range(0, 3000, 3))
