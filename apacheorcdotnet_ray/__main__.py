@@ -8,6 +8,8 @@ console surface (Program.cs) re-expressed as a small CLI:
     python -m apacheorcdotnet_ray inspect STRIPE_DIR_OR_FILE
     python -m apacheorcdotnet_ray verify  IN.parquet STRIPE_DIR
     python -m apacheorcdotnet_ray compact STRIPE_DIR OUT_DIR
+    python -m apacheorcdotnet_ray export-orc IN OUT_DIR [--compression zlib]
+    python -m apacheorcdotnet_ray import-orc IN OUT.parquet [--columns a,b]
 
 This module OWNS its Ray session (guarded init) — library code never does.
 """
@@ -59,6 +61,35 @@ def cmd_decode(args) -> int:
                         unify_schema=args.unify_schema).materialize()
     ds.write_parquet(args.out)  # materialized: decode runs once, not per consumer
     print(json.dumps({"rows": ds.count(), "out": args.out}))
+    return 0
+
+
+def cmd_export_orc(args) -> int:
+    """parquet / .oray stripes -> real .orc files (one per block)."""
+    from .sources.orc_writer import write_orc_dataset
+
+    _ensure_ray()
+    if args.input.endswith(".parquet"):
+        from .sources.parquet import read_parquet_clean
+
+        ds = read_parquet_clean(args.input)
+    else:
+        from .pipelines.encode import decode_dataset
+
+        ds = decode_dataset(args.input)
+    n = write_orc_dataset(ds, args.out_dir, compression=args.compression)
+    print(json.dumps({"orc_files": n, "out_dir": args.out_dir}))
+    return 0
+
+
+def cmd_import_orc(args) -> int:
+    """real .orc files -> parquet (decoded by this repo's ORC reader)."""
+    from .sources.orc_reader import read_orc_files
+
+    _ensure_ray()
+    columns = args.columns.split(",") if args.columns else None
+    read_orc_files(args.input, columns=columns).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
     return 0
 
 
@@ -144,6 +175,20 @@ def main(argv=None) -> int:
     c.add_argument("stripe_dir")
     c.add_argument("out_dir")
     c.set_defaults(fn=cmd_compact)
+
+    xo = sub.add_parser("export-orc",
+                        help="parquet or .oray stripes -> real .orc files")
+    xo.add_argument("input", help="a .parquet file or a stripe directory")
+    xo.add_argument("out_dir")
+    xo.add_argument("--compression", default="zlib", choices=["zlib", "none"])
+    xo.set_defaults(fn=cmd_export_orc)
+
+    io_ = sub.add_parser("import-orc",
+                         help="real .orc files -> parquet (our decoder)")
+    io_.add_argument("input", help=".orc file, glob, or directory")
+    io_.add_argument("out")
+    io_.add_argument("--columns", default=None)
+    io_.set_defaults(fn=cmd_import_orc)
 
     args = p.parse_args(argv)
     return args.fn(args)
