@@ -196,8 +196,8 @@ def knn_join(
     against it in one matmul — one streaming pass, no shuffle, no driver
     collection of results. The N×D broadcast is the documented small-N
     trade (fine to ~1M×1k f32 = 4 GB object-store resident); past that,
-    bucket with ``ivf_build`` and run this per probed partition (the
-    ``dedup_embedding_lsh`` pattern) accepting approximate recall.
+    use ``knn_join_ivf`` below — the bucketed path that broadcasts nothing
+    (exact at n_probe = n_centroids, approximate below it).
     Returns (vec_id, rank, nn_id, cosine) with rank 0 = nearest.
     """
     refs = emb_ds.select_columns([id_col, emb_col]).to_arrow_refs()
