@@ -180,7 +180,8 @@ def main(argv=None) -> int:
                         help="parquet or .oray stripes -> real .orc files")
     xo.add_argument("input", help="a .parquet file or a stripe directory")
     xo.add_argument("out_dir")
-    xo.add_argument("--compression", default="zlib", choices=["zlib", "none"])
+    xo.add_argument("--compression", default="zlib",
+                    choices=["zlib", "zstd", "none"])
     xo.set_defaults(fn=cmd_export_orc)
 
     io_ = sub.add_parser("import-orc",

@@ -90,6 +90,26 @@ class _Stripe:
     number_of_rows: int
 
 
+def _zstd_content_size(frame: bytes) -> int:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1)."""
+    if frame[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    fhd = frame[4]
+    single_segment = (fhd >> 5) & 1
+    fcs_flag = fhd >> 6
+    pos = 5 + (0 if single_segment else 1)  # skip window descriptor
+    pos += (0, 1, 2, 4)[fhd & 3]            # skip dictionary id
+    if fcs_flag == 0:
+        if not single_segment:
+            raise ValueError("zstd frame without content size")
+        return frame[pos]
+    if fcs_flag == 1:
+        return int.from_bytes(frame[pos:pos + 2], "little") + 256
+    if fcs_flag == 2:
+        return int.from_bytes(frame[pos:pos + 4], "little")
+    return int.from_bytes(frame[pos:pos + 8], "little")
+
+
 def _decompress(buf: bytes, compression: int) -> bytes:
     """ORC stream: concatenation of [3-byte LE header][chunk] blocks;
     header = (chunk_len << 1) | is_original. compression 0 = NONE."""
@@ -107,6 +127,14 @@ def _decompress(buf: bytes, compression: int) -> bytes:
             out += chunk
         elif compression == 1:  # ZLIB = raw deflate
             out += zlib.decompress(chunk, -15)
+        elif compression == 5:  # ZSTD frames
+            import pyarrow as _pa
+
+            # pyarrow needs the exact decompressed size — read it from the
+            # zstd frame header (Frame_Content_Size; our writer's frames
+            # always carry it)
+            out += _pa.Codec("zstd").decompress(
+                chunk, decompressed_size=_zstd_content_size(chunk))
         else:  # pragma: no cover
             raise NotImplementedError(f"ORC compression kind {compression}")
     return bytes(out)

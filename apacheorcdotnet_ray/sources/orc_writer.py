@@ -7,7 +7,7 @@ Ray engine: integer columns go through ``codecs.rlev2`` (the byte-faithful
 reimplementation of the reference's writer), strings through DIRECT_V2
 LENGTH streams, doubles as IEEE-LE, nulls through ``codecs.bool_rle``
 PRESENT streams — all laid out per the public ORC spec (magic, stripes,
-protobuf StripeFooter/Footer/PostScript, optional ZLIB chunk framing).
+protobuf StripeFooter/Footer/PostScript, ZLIB or ZSTD chunk framing).
 Conformance check: ``tests/test_orc_conformance.py`` round-trips files
 through BOTH pyarrow's independent C++ ORC reader and this repo's
 ``orc_reader``.
@@ -67,13 +67,18 @@ _ENC_DIRECT, _ENC_DIRECT_V2 = 0, 2
 
 def _frame(raw: bytes, compression: str, block: int = 256 * 1024) -> bytes:
     """ORC compressed-stream framing: 3-byte LE header per chunk,
-    (len << 1) | is_original; deflate body, stored when bigger."""
+    (len << 1) | is_original; compressed body, stored when bigger."""
     if compression == "none":
         return raw
     out = bytearray()
     for i in range(0, len(raw), block):
         chunk = raw[i:i + block]
-        comp = zlib.compress(chunk, 6)[2:-4]  # raw deflate body
+        if compression == "zlib":
+            comp = zlib.compress(chunk, 6)[2:-4]  # raw deflate body
+        else:  # zstd frame (ORC compression kind 5)
+            import pyarrow as _pa
+
+            comp = bytes(_pa.Codec("zstd").compress(chunk))
         if len(comp) < len(chunk):
             out += int.to_bytes(len(comp) << 1, 3, "little") + comp
         else:
@@ -146,7 +151,7 @@ def _column_streams(col: pa.ChunkedArray | pa.Array) -> tuple[int, list[tuple[st
 
 def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
     """Write one single-stripe ORC file (readable by Apache ORC readers)."""
-    comp_enum = {"none": 0, "zlib": 1}[compression]
+    comp_enum = {"none": 0, "zlib": 1, "zstd": 5}[compression]
     n_rows = table.num_rows
     n_cols = table.num_columns
 

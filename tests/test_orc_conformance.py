@@ -252,3 +252,22 @@ def test_read_orc_files_ray_source(ray_session, tmp_path):
     got = ds.to_pandas()
     assert sorted(got.columns) == ["k", "s"]
     assert sorted(got["k"]) == list(range(5000))
+
+
+def test_write_orc_zstd(tmp_path):
+    """ZSTD-framed ORC (compression kind 5) through pyarrow AND our reader."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    po = pytest.importorskip("pyarrow.orc")
+    t = pa.table({"v": pa.array(range(50_000), type=pa.int64()),
+                  "s": pa.array([f"w{i % 11}" for i in range(50_000)])})
+    p = str(tmp_path / "z.orc")
+    write_orc(t, p, compression="zstd")
+    f = po.ORCFile(p)
+    assert f.compression == "ZSTD"
+    back = f.read()
+    assert back.column("v").to_pylist() == t.column("v").to_pylist()
+    ours = OrcFile(p).read_table()
+    assert ours.column("s").to_pylist() == t.column("s").to_pylist()
