@@ -343,6 +343,39 @@ def _orc_file_roundtrip_events(sf_dir: str):
                         t.column("ts").cast(pa.timestamp("us")))
 
 
+def _orc_file_roundtrip_tokens(sf_dir: str):
+    """The FLAGSHIP shape (doc_id, tokens:list<int32>, n_tok, source)
+    through REAL ORC: tokenize → write .orc (LIST columns: LENGTH stream +
+    pre-order child numbering) → read back with pyarrow's independent C++
+    reader. n_tok is recomputed FROM the round-tripped token lists, so the
+    SQL oracle's len(string_split()) catches any list corruption; exact
+    token-value equality is pinned by pytest (test_orc_conformance)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.orc as po
+
+    from apacheorcdotnet_ray.pipelines.text import tokenize_documents
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc_dataset
+
+    out = _out_dir(sf_dir, "orc-sink-tokens")
+    done = os.path.join(out, "_built")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_orc_dataset(tokenize_documents(_read(sf_dir, "documents")), out)
+        open(done, "w").close()
+    t = pa.concat_tables(
+        [po.ORCFile(p).read() for p in sorted(glob.glob(out + "/*.orc"))])
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_tok": pc.list_value_length(t.column("tokens")).cast(pa.int32()),
+        "source": t.column("source"),
+    })
+
+
 def _full_outer_join(sf_dir: str):
     """Full outer equi-join through the co-partitioned repartition path
     (each key's rows from BOTH sides land in one partition, so the
@@ -981,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": _hash_join,
         "orc_file_roundtrip": _orc_file_roundtrip,
         "orc_file_roundtrip_events": _orc_file_roundtrip_events,
+        "orc_file_roundtrip_tokens": _orc_file_roundtrip_tokens,
         "full_outer_join": _full_outer_join,
         "semi_join": _semi_join,
         "anti_join": _anti_join,
@@ -1059,10 +1093,9 @@ _DRIVER_WINDOW_FIRST = [
     "roundtrip_structs", "roundtrip_decimal38", "json_struct_roundtrip",
     "predicate_scan_stride", "predicate_scan_conj", "predicate_scan_sorted",
     "predicate_scan_bloom", "predicate_scan_zorder", "grouped_source_scan",
-    "footer_stats_lineitem",
     # new this round (no driver row yet)
     "full_outer_join", "group_dense_rank", "orc_file_roundtrip",
-    "orc_file_roundtrip_events",
+    "orc_file_roundtrip_events", "orc_file_roundtrip_tokens",
 ]
 
 
@@ -1906,6 +1939,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_file_roundtrip": "SELECT * FROM documents",
         "orc_file_roundtrip_events": "SELECT * FROM events",
+        "orc_file_roundtrip_tokens": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+            " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, source"
+            " FROM documents"
+        ),
         "full_outer_join": (
             "SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,"
             " c.c_name, o.o_totalprice"

@@ -204,11 +204,12 @@ class OrcFile:
         import pyarrow as pa
 
         names = self.field_names()
+        top_ids = self.types[0].get(2, list(range(1, len(names) + 1)))
         cols = {}
-        for ci, name in enumerate(names, start=1):
+        for ci, name in zip(top_ids, names):
             if columns is not None and name not in columns:
                 continue
-            cols[name] = self._read_any_column(ci)
+            cols[name] = self._read_any_column(int(ci))
         return pa.table(cols)
 
     def _read_any_column(self, column: int):
@@ -222,9 +223,10 @@ class OrcFile:
             if _KIND_PRESENT in streams:
                 present = bool_rle.decode(streams[_KIND_PRESENT],
                                           st.number_of_rows)
-            if kind in (2, 3, 4):  # SHORT / INT / LONG
+            if kind in (2, 3, 4):  # SHORT / INT / LONG — width-faithful
                 vals = rlev2.decode(streams[_KIND_DATA], signed=True)
-                arr = pa.array(vals.astype(np.int64))
+                dt = {2: np.int16, 3: np.int32, 4: np.int64}[kind]
+                arr = pa.array(vals.astype(dt))
             elif kind == 0:  # BOOLEAN
                 n_vals = int(present.sum()) if present is not None \
                     else st.number_of_rows
@@ -275,6 +277,17 @@ class OrcFile:
                 arr = pa.array([Decimal(int(m)).scaleb(-int(s))
                                 for m, s in zip(mant, scale)],
                                type=pa.decimal128(prec, scl))
+            elif kind == 10:  # LIST (single-stripe files — our writer's)
+                if len(self.stripes) > 1:  # pragma: no cover
+                    raise NotImplementedError("multi-stripe LIST decode")
+                lengths = rlev2.decode(streams[_KIND_LENGTH], signed=False)
+                child_id = self.types[column].get(2, [column + 1])[0]
+                child = self._read_any_column(int(child_id))
+                offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+                arr = pa.LargeListArray.from_arrays(
+                    pa.array(offs, type=pa.int64()),
+                    child.combine_chunks()
+                    if isinstance(child, pa.ChunkedArray) else child)
             else:  # pragma: no cover
                 raise NotImplementedError(f"ORC type kind {kind}")
             if present is not None:

@@ -61,8 +61,11 @@ def pb_msg(*fields: bytes) -> bytes:
 
 _KIND = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "SECONDARY": 5}
 _TYPE_LONG, _TYPE_STRING, _TYPE_DOUBLE, _TYPE_BOOLEAN, _TYPE_STRUCT = 4, 7, 6, 0, 12
-_TYPE_TIMESTAMP, _TYPE_DECIMAL, _TYPE_DATE = 9, 14, 15
+_TYPE_TIMESTAMP, _TYPE_DECIMAL, _TYPE_DATE, _TYPE_LIST = 9, 14, 15, 10
+_TYPE_SHORT, _TYPE_INT = 2, 3
 _ENC_DIRECT, _ENC_DIRECT_V2 = 0, 2
+_V2_KINDS = (_TYPE_SHORT, _TYPE_INT, _TYPE_LONG, _TYPE_STRING,
+             _TYPE_TIMESTAMP, _TYPE_DATE, _TYPE_DECIMAL, _TYPE_LIST)
 
 
 def _frame(raw: bytes, compression: str, block: int = 256 * 1024) -> bytes:
@@ -98,7 +101,10 @@ def _column_streams(col: pa.ChunkedArray | pa.Array) -> tuple[int, list[tuple[st
     if pa.types.is_integer(t):
         vals = arr.to_numpy(zero_copy_only=False).astype(np.int64)
         streams.append(("DATA", rlev2.encode(vals, signed=True)))
-        return _TYPE_LONG, streams
+        # type-faithful width so readers restore int16/int32 columns
+        kind = _TYPE_SHORT if t.bit_width <= 16 else \
+            _TYPE_INT if t.bit_width == 32 else _TYPE_LONG
+        return kind, streams
     if pa.types.is_boolean(t):
         streams.append(("DATA", bool_rle.encode(
             arr.to_numpy(zero_copy_only=False).astype(bool))))
@@ -149,28 +155,59 @@ def _column_streams(col: pa.ChunkedArray | pa.Array) -> tuple[int, list[tuple[st
     raise NotImplementedError(f"ORC writer: unsupported type {t}")
 
 
+def _encode_node(arr, next_id: list[int]):
+    """Encode one column subtree in ORC pre-order. Returns
+    (type protobuf messages, encoding messages, [(stream kind, column id,
+    raw bytes)]) — ids assigned depth-first so LIST children follow their
+    parent (the public ORC column numbering)."""
+    my_id = next_id[0]
+    next_id[0] += 1
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    t = a.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        recs: list[tuple[str, bytes]] = []
+        if a.null_count:
+            present = np.invert(np.asarray(a.is_null()))
+            recs.append(("PRESENT", bool_rle.encode(present)))
+            a = a.drop_null()
+        import pyarrow.compute as pc
+
+        lengths = pc.list_value_length(a).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        recs.append(("LENGTH", rlev2.encode(lengths, signed=False)))
+        child_types, child_encs, child_streams = _encode_node(
+            a.flatten(), next_id)
+        types = [pb_msg(pb_field(1, _TYPE_LIST), pb_field(2, my_id + 1))] \
+            + child_types
+        encs = [pb_msg(pb_field(1, _ENC_DIRECT_V2))] + child_encs
+        streams = [(k, my_id, raw) for k, raw in
+                   ((_KIND[n], raw) for n, raw in recs)] + child_streams
+        return types, encs, streams
+    tkind, recs = _column_streams(a)
+    tkind, extra = tkind if isinstance(tkind, tuple) else (tkind, b"")
+    enc = _ENC_DIRECT_V2 if tkind in _V2_KINDS else _ENC_DIRECT
+    return ([pb_msg(pb_field(1, tkind) + extra)],
+            [pb_msg(pb_field(1, enc))],
+            [(_KIND[n], my_id, raw) for n, raw in recs])
+
+
 def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
     """Write one single-stripe ORC file (readable by Apache ORC readers)."""
     comp_enum = {"none": 0, "zlib": 1, "zstd": 5}[compression]
     n_rows = table.num_rows
-    n_cols = table.num_columns
 
-    # per-column streams, in ORC column order (0 = struct root, no streams)
-    stream_recs: list[tuple[int, int, bytes]] = []  # (kind, column, framed)
-    kinds: list[int] = []
+    next_id = [1]  # 0 = root struct
+    top_ids: list[int] = []
+    types: list[bytes] = []
     encodings = [pb_msg(pb_field(1, _ENC_DIRECT))]  # root struct
-    extras: list[bytes] = []
-    for ci in range(n_cols):
-        tkind, streams = _column_streams(table.column(ci))
-        tkind, extra = tkind if isinstance(tkind, tuple) else (tkind, b"")
-        kinds.append(tkind)
-        extras.append(extra)
-        enc = _ENC_DIRECT_V2 if tkind in (_TYPE_LONG, _TYPE_STRING,
-                                          _TYPE_TIMESTAMP, _TYPE_DATE,
-                                          _TYPE_DECIMAL) else _ENC_DIRECT
-        encodings.append(pb_msg(pb_field(1, enc)))
-        for sk, raw in streams:
-            stream_recs.append((_KIND[sk], ci + 1, _frame(raw, compression)))
+    stream_recs: list[tuple[int, int, bytes]] = []  # (kind, column, framed)
+    for ci in range(table.num_columns):
+        top_ids.append(next_id[0])
+        tps, encs, streams = _encode_node(table.column(ci), next_id)
+        types.extend(tps)
+        encodings.extend(encs)
+        stream_recs.extend((k, c, _frame(raw, compression))
+                           for k, c, raw in streams)
 
     data = b"".join(framed for _, _, framed in stream_recs)
     stripe_footer = pb_msg(
@@ -182,11 +219,11 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
     )
     stripe_footer_framed = _frame(stripe_footer, compression)
 
-    # types: root struct lists subtypes + field names, then leaves
+    # types: root struct lists its children's PRE-ORDER ids + field names
     types = [pb_msg(pb_field(1, _TYPE_STRUCT),
-                    *[pb_field(2, i + 1) for i in range(n_cols)],
-                    *[pb_field(3, name) for name in table.column_names])]
-    types += [pb_msg(pb_field(1, k) + x) for k, x in zip(kinds, extras)]
+                    *[pb_field(2, i) for i in top_ids],
+                    *[pb_field(3, name) for name in table.column_names])] \
+        + types
 
     stripe_offset = 3  # after magic
     stripe_info = pb_msg(

@@ -271,3 +271,31 @@ def test_write_orc_zstd(tmp_path):
     assert back.column("v").to_pylist() == t.column("v").to_pylist()
     ours = OrcFile(p).read_table()
     assert ours.column("s").to_pylist() == t.column("s").to_pylist()
+
+
+def test_tokens_shape_through_orc(ray_session, tmp_path):
+    """The flagship (doc_id, tokens:list<int32>, n_tok, source) table —
+    real testdata, tokenized — through real ORC with EXACT token-value
+    equality via pyarrow's independent reader and our own."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.pipelines.text import tokenize_documents
+    from apacheorcdotnet_ray.sources.orc_reader import OrcFile
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+    from apacheorcdotnet_ray.sources.parquet import read_parquet_clean
+
+    po = pytest.importorskip("pyarrow.orc")
+    src = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(src):
+        pytest.skip("testdata not present")
+    t = pa.concat_tables(
+        tokenize_documents(read_parquet_clean(src)).iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+    p = str(tmp_path / "tokens.orc")
+    write_orc(t, p)
+    back = po.ORCFile(p).read()
+    assert back.column("tokens").to_pylist() == t.column("tokens").to_pylist()
+    assert back.column("doc_id").to_pylist() == t.column("doc_id").to_pylist()
+    assert back.schema.field("tokens").type == pa.list_(pa.int32())
+    own = OrcFile(p).read_table(columns=["doc_id", "tokens"])
+    assert own.column("tokens").to_pylist() == t.column("tokens").to_pylist()
