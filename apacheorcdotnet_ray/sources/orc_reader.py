@@ -277,6 +277,25 @@ class OrcFile:
                 arr = pa.array([Decimal(int(m)).scaleb(-int(s))
                                 for m, s in zip(mant, scale)],
                                type=pa.decimal128(prec, scl))
+            elif kind == 12:  # STRUCT (single-stripe files — our writer's)
+                if len(self.stripes) > 1:  # pragma: no cover
+                    raise NotImplementedError("multi-stripe STRUCT decode")
+                child_ids = self.types[column].get(2, [])
+                names = [v.decode("utf-8")
+                         for v in self.types[column].get(3, [])]
+                children = []
+                for cid in child_ids:
+                    c = self._read_any_column(int(cid))
+                    children.append(c.combine_chunks()
+                                    if isinstance(c, pa.ChunkedArray) else c)
+                if present is not None:
+                    idx = pa.array(np.maximum(np.cumsum(present) - 1, 0))
+                    children = [c.take(idx) for c in children]
+                    arr = pa.StructArray.from_arrays(
+                        children, names, mask=pa.array(~present))
+                    present = None  # expansion handled here
+                else:
+                    arr = pa.StructArray.from_arrays(children, names)
             elif kind == 10:  # LIST (single-stripe files — our writer's)
                 if len(self.stripes) > 1:  # pragma: no cover
                     raise NotImplementedError("multi-stripe LIST decode")

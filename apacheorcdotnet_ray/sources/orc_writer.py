@@ -59,11 +59,12 @@ def pb_msg(*fields: bytes) -> bytes:
 
 # --- stream building ---------------------------------------------------------
 
-_KIND = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "SECONDARY": 5}
+_KIND = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "DICTIONARY_DATA": 3,
+         "SECONDARY": 5}
 _TYPE_LONG, _TYPE_STRING, _TYPE_DOUBLE, _TYPE_BOOLEAN, _TYPE_STRUCT = 4, 7, 6, 0, 12
 _TYPE_TIMESTAMP, _TYPE_DECIMAL, _TYPE_DATE, _TYPE_LIST = 9, 14, 15, 10
 _TYPE_SHORT, _TYPE_INT = 2, 3
-_ENC_DIRECT, _ENC_DIRECT_V2 = 0, 2
+_ENC_DIRECT, _ENC_DIRECT_V2, _ENC_DICTIONARY_V2 = 0, 2, 3
 _V2_KINDS = (_TYPE_SHORT, _TYPE_INT, _TYPE_LONG, _TYPE_STRING,
              _TYPE_TIMESTAMP, _TYPE_DATE, _TYPE_DECIMAL, _TYPE_LIST)
 
@@ -143,6 +144,25 @@ def _column_streams(col: pa.ChunkedArray | pa.Array) -> tuple[int, list[tuple[st
         return (_TYPE_DECIMAL,
                 pb_field(5, t.precision) + pb_field(6, t.scale)), streams
     if pa.types.is_string(t) or pa.types.is_large_string(t):
+        # the reference's dictionary-vs-direct decision (StringWriter.cs:
+        # 89-92, 155-249): distinct ratio <= 0.8 -> DICTIONARY_V2 with a
+        # sorted dictionary; else DIRECT_V2
+        import pyarrow.compute as pc
+
+        uniq = pc.unique(arr)
+        if len(arr) and len(uniq) / len(arr) <= 0.8:
+            dct = uniq.sort()
+            ids = pc.index_in(arr, value_set=dct).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            entries = dct.to_pylist()
+            blob = "".join(entries).encode("utf-8")
+            dlens = np.array([len(e.encode("utf-8")) for e in entries],
+                             dtype=np.int64)
+            streams.append(("DATA", rlev2.encode(ids, signed=False)))
+            streams.append(("DICTIONARY_DATA", blob))
+            streams.append(("LENGTH", rlev2.encode(dlens, signed=False)))
+            return (_TYPE_STRING, b"", _ENC_DICTIONARY_V2,
+                    len(entries)), streams
         sa = arr.cast(pa.large_string())
         offs = np.frombuffer(sa.buffers()[1], dtype=np.int64,
                              count=len(sa) + 1, offset=8 * sa.offset)
@@ -183,11 +203,41 @@ def _encode_node(arr, next_id: list[int]):
         streams = [(k, my_id, raw) for k, raw in
                    ((_KIND[n], raw) for n, raw in recs)] + child_streams
         return types, encs, streams
+    if pa.types.is_struct(t):
+        recs = []
+        if a.null_count:
+            present = np.invert(np.asarray(a.is_null()))
+            recs.append((_KIND["PRESENT"], my_id, bool_rle.encode(present)))
+            a = a.drop_null()
+        types = [None]  # placeholder: needs children's pre-order ids
+        encs = [pb_msg(pb_field(1, _ENC_DIRECT))]
+        child_ids = []
+        streams = list(recs)
+        for fi in range(t.num_fields):
+            child_ids.append(next_id[0])
+            ct, ce, cs = _encode_node(a.field(fi), next_id)
+            types.extend(ct)
+            encs.extend(ce)
+            streams.extend(cs)
+        types[0] = pb_msg(pb_field(1, _TYPE_STRUCT),
+                          *[pb_field(2, i) for i in child_ids],
+                          *[pb_field(3, t.field(fi).name)
+                            for fi in range(t.num_fields)])
+        return types, encs, streams
     tkind, recs = _column_streams(a)
-    tkind, extra = tkind if isinstance(tkind, tuple) else (tkind, b"")
-    enc = _ENC_DIRECT_V2 if tkind in _V2_KINDS else _ENC_DIRECT
+    enc_kind, dict_size = None, None
+    if isinstance(tkind, tuple) and len(tkind) == 4:
+        tkind, extra, enc_kind, dict_size = tkind
+    elif isinstance(tkind, tuple):
+        tkind, extra = tkind
+    else:
+        extra = b""
+    if enc_kind is None:
+        enc_kind = _ENC_DIRECT_V2 if tkind in _V2_KINDS else _ENC_DIRECT
+    enc_msg = pb_msg(pb_field(1, enc_kind)) if dict_size is None else \
+        pb_msg(pb_field(1, enc_kind), pb_field(2, dict_size))
     return ([pb_msg(pb_field(1, tkind) + extra)],
-            [pb_msg(pb_field(1, enc))],
+            [enc_msg],
             [(_KIND[n], my_id, raw) for n, raw in recs])
 
 

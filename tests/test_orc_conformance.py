@@ -299,3 +299,47 @@ def test_tokens_shape_through_orc(ray_session, tmp_path):
     assert back.schema.field("tokens").type == pa.list_(pa.int32())
     own = OrcFile(p).read_table(columns=["doc_id", "tokens"])
     assert own.column("tokens").to_pylist() == t.column("tokens").to_pylist()
+
+
+def test_dictionary_string_write(tmp_path):
+    """Low-cardinality strings take DICTIONARY_V2 (the reference's 0.8
+    distinct-ratio decision, StringWriter.cs:89-92) — verified through
+    pyarrow and our reader; high-cardinality strings stay DIRECT_V2."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    po = pytest.importorskip("pyarrow.orc")
+    low = pa.table({"s": pa.array(["a", "b", "a", "c"] * 500)})
+    hi = pa.table({"s": pa.array([f"u{i}" for i in range(2000)])})
+    pl_, ph = str(tmp_path / "low.orc"), str(tmp_path / "hi.orc")
+    write_orc(low, pl_)
+    write_orc(hi, ph)
+    assert OrcFile(pl_).column_encoding(1) == 3   # DICTIONARY_V2
+    assert OrcFile(ph).column_encoding(1) == 2    # DIRECT_V2
+    for p, t in ((pl_, low), (ph, hi)):
+        assert po.ORCFile(p).read().column("s").to_pylist() \
+            == t.column("s").to_pylist()
+        assert OrcFile(p).read_table().column("s").to_pylist() \
+            == t.column("s").to_pylist()
+
+
+def test_struct_column_write(tmp_path):
+    """Nullable struct columns round-trip through pyarrow and our reader."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    po = pytest.importorskip("pyarrow.orc")
+    rec = pa.StructArray.from_arrays(
+        [pa.array([1, 2, 3, 4], type=pa.int64()),
+         pa.array(["a", "b", "c", "d"])],
+        names=["x", "y"],
+        mask=pa.array([False, True, False, False]))
+    t = pa.table({"k": pa.array([10, 20, 30, 40], type=pa.int64()),
+                  "rec": rec})
+    p = str(tmp_path / "st.orc")
+    write_orc(t, p)
+    exp = t.column("rec").to_pylist()
+    assert po.ORCFile(p).read().column("rec").to_pylist() == exp
+    assert OrcFile(p).read_table().column("rec").to_pylist() == exp
