@@ -402,11 +402,75 @@ class OrcFile:
         return np.concatenate(parts) if parts else np.empty(0, np.int64)
 
 
-def read_orc_files(paths, columns: list[str] | None = None):
+def _unzz(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def read_file_stats(path: str) -> dict[str, dict]:
+    """Footer column statistics via a TAIL-ONLY read (two seeks, no stream
+    bytes touched): name → {n, min, max} for top-level int/string columns.
+    The file-level analog of the container's footer-stats pruning."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, size - 16384))
+        tail = f.read()
+        ps_len = tail[-1]
+        ps = pb_parse(tail[-1 - ps_len:-1])
+        footer_len = ps[1][0]
+        need = 1 + ps_len + footer_len
+        if need > len(tail):  # enormous footer: one more seek
+            f.seek(size - need)
+            tail = f.read()
+        compression = ps.get(2, [0])[0]
+    footer = pb_parse(_decompress(
+        tail[-1 - ps_len - footer_len:-1 - ps_len], compression))
+    types = [pb_parse(raw) for raw in footer.get(4, [])]
+    names = [v.decode("utf-8") for v in types[0].get(3, [])]
+    top_ids = types[0].get(2, list(range(1, len(names) + 1)))
+    stats = [pb_parse(raw) for raw in footer.get(7, [])]
+    out: dict[str, dict] = {}
+    for name, cid in zip(names, top_ids):
+        if cid >= len(stats):
+            continue
+        st = stats[int(cid)]
+        rec: dict = {"n": st.get(1, [None])[0]}
+        if 2 in st:  # intStatistics (sint64 zigzag)
+            ist = pb_parse(st[2][0])
+            rec["min"] = _unzz(ist.get(1, [0])[0])
+            rec["max"] = _unzz(ist.get(2, [0])[0])
+        elif 4 in st:  # stringStatistics
+            sst = pb_parse(st[4][0])
+            rec["min"] = sst.get(1, [b""])[0].decode("utf-8")
+            rec["max"] = sst.get(2, [b""])[0].decode("utf-8")
+        out[name] = rec
+    return out
+
+
+def _stats_may_match(stats: dict, predicate) -> bool:
+    col, op, lit = predicate
+    rec = stats.get(col)
+    if rec is None or "min" not in rec:
+        return True  # no stats → cannot prune
+    lo, hi = rec["min"], rec["max"]
+    if op == "==":
+        return lo <= lit <= hi
+    if op in ("<", "<="):
+        return lo < lit if op == "<" else lo <= lit
+    if op in (">", ">="):
+        return hi > lit if op == ">" else hi >= lit
+    return True
+
+
+def read_orc_files(paths, columns: list[str] | None = None,
+                   predicate: tuple | None = None):
     """Ray Data source over real ``.orc`` files: one decode task per file
     (ORC stripes are this source's natural block unit), column-pruned at
     the stream level — unrequested columns never decompress. ``paths``: a
-    directory, a glob, or an explicit list."""
+    directory, a glob, or an explicit list. ``predicate`` = (col, op, lit):
+    whole files whose footer stats exclude it are never opened beyond the
+    tail (two seeks), and surviving rows are filtered exactly."""
     import glob as _glob
     import os
 
@@ -420,11 +484,31 @@ def read_orc_files(paths, columns: list[str] | None = None):
             paths = sorted(_glob.glob(paths))
     if not paths:
         raise FileNotFoundError("no .orc files matched")
+    if predicate is not None:
+        kept = [p for p in paths
+                if _stats_may_match(read_file_stats(p), predicate)]
+        pruned = len(paths) - len(kept)
+        if pruned:
+            print(f"read_orc_files: footer stats pruned {pruned}/"
+                  f"{len(paths)} files")
+        paths = kept
+        if not paths:
+            raise FileNotFoundError(
+                "every .orc file pruned by the predicate — no schema "
+                "available for an empty result")
 
     def decode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         tables = [OrcFile(p).read_table(columns=columns)
                   for p in batch.column("path").to_pylist()]
-        return pa.concat_tables(tables)
+        t = pa.concat_tables(tables)
+        if predicate is not None:  # exact row filter after the file prune
+            col, op, lit = predicate
+            kernel = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                      ">": pc.greater, ">=": pc.greater_equal}[op]
+            t = t.filter(kernel(t.column(col), lit))
+        return t
 
     return rd.from_items([{"path": p} for p in paths],
                          override_num_blocks=len(paths)) \

@@ -175,6 +175,45 @@ def _column_streams(col: pa.ChunkedArray | pa.Array) -> tuple[int, list[tuple[st
     raise NotImplementedError(f"ORC writer: unsupported type {t}")
 
 
+def _column_statistics(table: pa.Table, kinds_by_id: dict[int, int],
+                       top_ids: list[int]) -> list[bytes]:
+    """Footer ColumnStatistics in column-id order (public orc proto field
+    numbers: 1 numberOfValues; intStatistics=2 {1 min, 2 max, 3 sum};
+    stringStatistics=4 {1 min, 2 max}; doubleStatistics=3 {1 min, 2 max}).
+    Only top-level int/string/double columns get min/max — enough for
+    file-level predicate pruning; other ids carry counts only."""
+    import pyarrow.compute as pc
+
+    max_id = max(kinds_by_id) if kinds_by_id else 0
+    stats = []
+    by_top = {cid: table.column(i) for i, cid in enumerate(top_ids)}
+    for cid in range(max_id + 1):
+        if cid == 0:
+            stats.append(pb_msg(pb_field(1, table.num_rows)))
+            continue
+        col = by_top.get(cid)
+        n = (len(col) - col.null_count) if col is not None else table.num_rows
+        msg = pb_field(1, n)
+        if col is not None and n:
+            t = col.type
+            if pa.types.is_integer(t):
+                msg += pb_field(2, pb_msg(
+                    pb_field(1, _zz(int(pc.min(col).as_py()))),
+                    pb_field(2, _zz(int(pc.max(col).as_py()))),
+                    pb_field(3, _zz(int(pc.sum(col).as_py())))))
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                msg += pb_field(4, pb_msg(
+                    pb_field(1, str(pc.min(col).as_py())),
+                    pb_field(2, str(pc.max(col).as_py()))))
+        stats.append(pb_msg(msg))
+    return stats
+
+
+def _zz(v: int) -> int:
+    """zigzag for proto sint64 fields (ORC statistics use sint64)."""
+    return (v << 1) ^ (v >> 63)  # Python's arithmetic shift: -1 for v<0
+
+
 def _encode_node(arr, next_id: list[int]):
     """Encode one column subtree in ORC pre-order. Returns
     (type protobuf messages, encoding messages, [(stream kind, column id,
@@ -251,9 +290,13 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
     types: list[bytes] = []
     encodings = [pb_msg(pb_field(1, _ENC_DIRECT))]  # root struct
     stream_recs: list[tuple[int, int, bytes]] = []  # (kind, column, framed)
+    kinds_by_id: dict[int, int] = {0: _TYPE_STRUCT}
     for ci in range(table.num_columns):
-        top_ids.append(next_id[0])
+        cid = next_id[0]
+        top_ids.append(cid)
         tps, encs, streams = _encode_node(table.column(ci), next_id)
+        for off in range(next_id[0] - cid):
+            kinds_by_id[cid + off] = 0  # placeholder; stats only need ids
         types.extend(tps)
         encodings.extend(encs)
         stream_recs.extend((k, c, _frame(raw, compression))
@@ -280,12 +323,14 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
         pb_field(1, stripe_offset), pb_field(2, 0),  # no index streams
         pb_field(3, len(data)), pb_field(4, len(stripe_footer_framed)),
         pb_field(5, n_rows))
+    stats = _column_statistics(table, kinds_by_id, top_ids)
     footer = pb_msg(
         pb_field(1, 3),                                   # headerLength
         pb_field(2, 3 + len(data) + len(stripe_footer_framed)),  # contentLength
         pb_field(3, stripe_info),
         *[pb_field(4, t) for t in types],
         pb_field(6, n_rows),
+        *[pb_field(7, st) for st in stats],               # file column stats
         pb_field(8, 0),                                   # rowIndexStride
     )
     footer_framed = _frame(footer, compression)

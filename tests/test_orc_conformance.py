@@ -343,3 +343,30 @@ def test_struct_column_write(tmp_path):
     exp = t.column("rec").to_pylist()
     assert po.ORCFile(p).read().column("rec").to_pylist() == exp
     assert OrcFile(p).read_table().column("rec").to_pylist() == exp
+
+
+def test_orc_footer_stats_and_pruning(ray_session, tmp_path):
+    """Written .orc files carry footer column statistics (sint64 zigzag
+    int min/max/sum, string min/max); read_orc_files prunes whole files by
+    them with a tail-only read and still returns exact rows."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from apacheorcdotnet_ray.sources.orc_reader import (read_file_stats,
+                                                        read_orc_files)
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc_dataset
+
+    t = pa.table({"k": pa.array(range(40_000), type=pa.int64()),
+                  "s": pa.array([f"v{i % 7}" for i in range(40_000)])})
+    out = str(tmp_path / "prune")
+    write_orc_dataset(rd.from_arrow(t).repartition(4), out)
+    stats = [read_file_stats(p) for p in sorted(glob.glob(out + "/*.orc"))]
+    assert all(st["k"]["n"] == 10_000 for st in stats)
+    assert sorted(st["k"]["min"] for st in stats) == [0, 10_000, 20_000, 30_000]
+    assert all("min" in st["s"] for st in stats)  # string stats present
+    got = read_orc_files(out, predicate=("k", "<", 5_000)).to_pandas()
+    assert len(got) == 5_000 and got["k"].max() == 4_999
+    point = read_orc_files(out, predicate=("k", "==", 39_999)).to_pandas()
+    assert len(point) == 1
