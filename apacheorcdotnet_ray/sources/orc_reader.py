@@ -30,7 +30,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..codecs import bool_rle, rlev2
+from ..codecs import bool_rle, rlev1, rlev2
 
 # --- minimal protobuf wire-format reader -----------------------------------
 
@@ -216,6 +216,11 @@ class OrcFile:
         import pyarrow as pa
 
         kind = self.types[column].get(1, [0])[0]
+        # pre-Hive-0.12 files: DIRECT(0)/DICTIONARY(1) encodings carry
+        # RLEv1 integer streams; v2 encodings carry RLEv2
+        enc = self.column_encoding(column)
+        ints = rlev1.decode if enc in (_ENC_DIRECT, _ENC_DICTIONARY) \
+            else rlev2.decode
         parts = []
         for st in self.stripes:
             streams = self._column_streams(st, column)
@@ -224,7 +229,7 @@ class OrcFile:
                 present = bool_rle.decode(streams[_KIND_PRESENT],
                                           st.number_of_rows)
             if kind in (2, 3, 4):  # SHORT / INT / LONG — width-faithful
-                vals = rlev2.decode(streams[_KIND_DATA], signed=True)
+                vals = ints(streams[_KIND_DATA], signed=True)
                 dt = {2: np.int16, 3: np.int32, 4: np.int64}[kind]
                 arr = pa.array(vals.astype(dt))
             elif kind == 0:  # BOOLEAN
@@ -239,13 +244,13 @@ class OrcFile:
                 arr = pa.array(np.frombuffer(streams[_KIND_DATA],
                                              dtype="<f4"))
             elif kind == 7:  # STRING
-                lengths = rlev2.decode(streams[_KIND_LENGTH], signed=False)
-                if self.column_encoding(column) == _ENC_DICTIONARY_V2:
+                lengths = ints(streams[_KIND_LENGTH], signed=False)
+                if enc in (_ENC_DICTIONARY_V2, _ENC_DICTIONARY):
                     blob = streams[_KIND_DICTIONARY_DATA]
                     offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
                     entries = [blob[offs[i]:offs[i + 1]].decode("utf-8")
                                for i in range(len(lengths))]
-                    ids = rlev2.decode(streams[_KIND_DATA], signed=False)
+                    ids = ints(streams[_KIND_DATA], signed=False)
                     arr = pa.array([entries[int(i)] for i in ids],
                                    type=pa.string())
                 else:
