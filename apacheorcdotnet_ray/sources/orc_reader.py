@@ -11,13 +11,22 @@ source:
 
 - protobuf tail parsing via a ~40-line wire-format reader (no protobuf dep;
   field numbers from the public ORC spec — the reference's generated
-  Protocol/*.cs carries the same public schema);
+  Protocol/*.cs carries the same public schema). ``Type.subtypes`` is
+  ``repeated uint32 [packed=true]`` so real writers emit it as ONE
+  length-delimited blob of varints — ``pb_repeated_uint`` unpacks both the
+  packed and the unpacked dialect;
 - ORC compressed-stream framing (3-byte little-endian chunk headers,
   ``(len << 1) | is_original``; raw-deflate bodies for ZLIB);
 - column decoders driving the repo codecs: DIRECT_V2 ints (``rlev2``),
-  DICTIONARY_V2/DIRECT_V2 strings, doubles/floats, booleans, two-stream
-  timestamps, dates, decimals (``varint`` mantissas), PRESENT null masks
-  (``bool_rle``);
+  DICTIONARY_V2/DIRECT_V2 strings (zero-copy ``pa.Array.from_buffers``
+  construction — no per-row Python), doubles/floats, booleans, two-stream
+  timestamps (both nano dialects: C++ signed-negative nanos AND the
+  Java/Hive positive-nanos one-second adjustment), dates, decimals
+  (``varint`` mantissas, vectorized to ``decimal128`` for precision ≤ 18),
+  PRESENT null masks (``bool_rle``), STRUCT and LIST — all of them across
+  multiple stripes (per-stripe decode, one concat at the top);
+- the file is ``mmap``-ed, not slurped: only the tail plus the streams a
+  read actually touches are ever paged in / copied;
 - ``read_table(columns=...)`` prunes at the decode (unrequested streams
   never decompress); ``read_orc_files`` is the Ray Data source (one decode
   task per file).
@@ -71,6 +80,23 @@ def pb_parse(buf: bytes) -> dict[int, list]:
         else:  # pragma: no cover - groups unused by ORC
             raise ValueError(f"unsupported protobuf wire type {wire}")
         out.setdefault(tag, []).append(val)
+    return out
+
+
+def pb_repeated_uint(values: list) -> list[int]:
+    """Flatten a ``repeated uint32/uint64`` field that may arrive PACKED
+    (proto2 ``[packed=true]``: one wire-type-2 blob of varints — how real
+    ORC writers emit ``Type.subtypes``) or unpacked (one varint per
+    element — this repo's own writer)."""
+    out: list[int] = []
+    for v in values:
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            pos = 0
+            while pos < len(v):
+                x, pos = _read_varint(v, pos)
+                out.append(x)
+        else:
+            out.append(int(v))
     return out
 
 
@@ -140,12 +166,69 @@ def _decompress(buf: bytes, compression: int) -> bytes:
     return bytes(out)
 
 
+def _strings_from_blob(blob: bytes, lengths: np.ndarray):
+    """Zero-copy Arrow string array from packed UTF-8 + per-value lengths
+    (the LENGTH stream already IS the vectorized offsets source — no
+    per-row Python slicing/decoding)."""
+    import pyarrow as pa
+
+    n = len(lengths)
+    if n and int(lengths.sum()) > 2**31 - 8:  # pragma: no cover - huge blob
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        return pa.Array.from_buffers(
+            pa.large_utf8(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
+    offs = np.zeros(n + 1, dtype=np.int32)
+    if n:
+        np.cumsum(lengths, out=offs[1:])
+    return pa.Array.from_buffers(
+        pa.utf8(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
+
+
+def _decimals_from_parts(mant: np.ndarray, scale: np.ndarray,
+                         prec: int, scl: int):
+    """Vectorized decimal128 construction: rescale int64 mantissas to the
+    column scale, then build the 16-byte two's-complement buffer directly
+    (low word = mantissa, high word = sign extension). Falls back to
+    per-value ``Decimal`` only for precision > 18 (mantissas that overflow
+    int64 — the varint decoder already wrapped those)."""
+    import pyarrow as pa
+
+    if prec <= 18:
+        adj = scl - scale.astype(np.int64)
+        if ((adj >= 0) & (adj <= 18)).all():
+            m = mant.astype(np.int64) * 10 ** adj
+            buf = np.empty((len(m), 2), dtype=np.int64)
+            buf[:, 0] = m
+            buf[:, 1] = m >> 63  # sign extension
+            return pa.Array.from_buffers(
+                pa.decimal128(prec, scl), len(m),
+                [None, pa.py_buffer(buf.tobytes())])
+    from decimal import Decimal  # pragma: no cover - prec>18 foreign files
+
+    return pa.array([Decimal(int(m)).scaleb(-int(s))
+                     for m, s in zip(mant, scale)],
+                    type=pa.decimal128(prec, scl))
+
+
 class OrcFile:
-    """Tail-parsed ORC file; reads integer columns through the repo codecs."""
+    """Tail-parsed ORC file; reads columns through the repo codecs.
+
+    The file is memory-mapped: ``__init__`` touches only the tail
+    (PostScript + Footer), and each column read pages in just that
+    column's streams — peak heap for a decode is bounded by one stripe's
+    streams, not the file."""
 
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            self._buf = f.read()
+        import mmap
+
+        self._f = open(path, "rb")
+        try:
+            self._buf = mmap.mmap(self._f.fileno(), 0,
+                                  access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # pragma: no cover - empty/special
+            self._buf = self._f.read()
         buf = self._buf
         ps_len = buf[-1]
         ps = pb_parse(buf[-1 - ps_len:-1])
@@ -161,13 +244,34 @@ class OrcFile:
                     s.get(4, [0])[0], s.get(5, [0])[0])
             for s in (pb_parse(raw) for raw in footer.get(3, []))
         ]
-        # types: field 1 = kind enum, field 2 = subtypes (for the root struct)
+        # types: field 1 = kind enum, field 2 = subtypes (packed or not)
         self.types = [pb_parse(raw) for raw in footer.get(4, [])]
+        self._sf_cache: dict[int, dict[int, list]] = {}
+
+    def close(self) -> None:
+        buf, self._buf = self._buf, b""
+        if hasattr(buf, "close"):
+            buf.close()
+        self._f.close()
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def subtypes(self, column: int) -> list[int]:
+        return pb_repeated_uint(self.types[column].get(2, []))
 
     def _stripe_footer(self, st: _Stripe) -> dict[int, list]:
+        cached = self._sf_cache.get(st.offset)
+        if cached is not None:
+            return cached
         start = st.offset + st.index_length + st.data_length
         raw = self._buf[start:start + st.footer_length]
-        return pb_parse(_decompress(raw, self.compression))
+        sf = pb_parse(_decompress(raw, self.compression))
+        self._sf_cache[st.offset] = sf
+        return sf
 
     def _column_streams(self, st: _Stripe, column: int) -> dict[int, bytes]:
         """kind → decompressed stream bytes for one column of one stripe.
@@ -181,30 +285,33 @@ class OrcFile:
             kind = s.get(1, [0])[0]
             col = s.get(2, [0])[0]
             ln = s.get(3, [0])[0]
-            if col == column and kind != _KIND_ROW_INDEX:
+            if col == column and kind not in (_KIND_ROW_INDEX, 7, 8):
                 out[kind] = _decompress(self._buf[pos:pos + ln],
                                         self.compression)
             pos += ln
         return out
 
+    def _stripe_encoding(self, st: _Stripe, column: int) -> int:
+        enc = self._stripe_footer(st).get(2, [])
+        return pb_parse(enc[column]).get(1, [0])[0] if column < len(enc) else 0
+
     def column_encoding(self, column: int) -> int:
-        enc = [pb_parse(raw) for raw in
-               self._stripe_footer(self.stripes[0]).get(2, [])]
-        return enc[column].get(1, [0])[0]
+        return self._stripe_encoding(self.stripes[0], column)
 
     def field_names(self) -> list[str]:
         return [v.decode("utf-8") for v in self.types[0].get(3, [])]
 
     def read_table(self, columns: list[str] | None = None) -> "pa.Table":  # noqa: F821
         """Decode every supported column (LONG/INT/SHORT, STRING, DOUBLE,
-        FLOAT, BOOLEAN, TIMESTAMP, DATE, DECIMAL — nulls via PRESENT) into
-        one Arrow table, entirely through this repo's codecs. ``columns``
-        prunes at the decode: unrequested columns' streams are never
-        decompressed."""
+        FLOAT, BOOLEAN, TIMESTAMP, DATE, DECIMAL, STRUCT, LIST — nulls via
+        PRESENT) into one Arrow table, entirely through this repo's codecs.
+        ``columns`` prunes at the decode: unrequested columns' streams are
+        never decompressed. Multi-stripe files decode stripe-by-stripe
+        (nested types included) with one concat per column at the top."""
         import pyarrow as pa
 
         names = self.field_names()
-        top_ids = self.types[0].get(2, list(range(1, len(names) + 1)))
+        top_ids = self.subtypes(0) or list(range(1, len(names) + 1))
         cols = {}
         for ci, name in zip(top_ids, names):
             if columns is not None and name not in columns:
@@ -215,116 +322,113 @@ class OrcFile:
     def _read_any_column(self, column: int):
         import pyarrow as pa
 
+        parts = [self._read_column_stripe(st, column) for st in self.stripes]
+        parts = [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                 for p in parts]
+        return pa.concat_arrays(parts)
+
+    def _read_column_stripe(self, st: _Stripe, column: int):
+        """One column of ONE stripe → Arrow array (recursive for nested
+        types, so multi-stripe STRUCT/LIST work stripe-locally: child
+        streams are scoped to the same stripe as the parent's)."""
+        import pyarrow as pa
+
         kind = self.types[column].get(1, [0])[0]
         # pre-Hive-0.12 files: DIRECT(0)/DICTIONARY(1) encodings carry
         # RLEv1 integer streams; v2 encodings carry RLEv2
-        enc = self.column_encoding(column)
+        enc = self._stripe_encoding(st, column)
         ints = rlev1.decode if enc in (_ENC_DIRECT, _ENC_DICTIONARY) \
             else rlev2.decode
-        parts = []
-        for st in self.stripes:
-            streams = self._column_streams(st, column)
-            present = None
-            if _KIND_PRESENT in streams:
-                present = bool_rle.decode(streams[_KIND_PRESENT],
-                                          st.number_of_rows)
-            if kind in (2, 3, 4):  # SHORT / INT / LONG — width-faithful
-                vals = ints(streams[_KIND_DATA], signed=True)
-                dt = {2: np.int16, 3: np.int32, 4: np.int64}[kind]
-                arr = pa.array(vals.astype(dt))
-            elif kind == 0:  # BOOLEAN
-                n_vals = int(present.sum()) if present is not None \
-                    else st.number_of_rows
-                arr = pa.array(bool_rle.decode(streams[_KIND_DATA], n_vals)
-                               .astype(bool))
-            elif kind == 6:  # DOUBLE
-                arr = pa.array(np.frombuffer(streams[_KIND_DATA],
-                                             dtype="<f8"))
-            elif kind == 5:  # FLOAT
-                arr = pa.array(np.frombuffer(streams[_KIND_DATA],
-                                             dtype="<f4"))
-            elif kind == 7:  # STRING
-                lengths = ints(streams[_KIND_LENGTH], signed=False)
-                if enc in (_ENC_DICTIONARY_V2, _ENC_DICTIONARY):
-                    blob = streams[_KIND_DICTIONARY_DATA]
-                    offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
-                    entries = [blob[offs[i]:offs[i + 1]].decode("utf-8")
-                               for i in range(len(lengths))]
-                    ids = ints(streams[_KIND_DATA], signed=False)
-                    arr = pa.array([entries[int(i)] for i in ids],
-                                   type=pa.string())
-                else:
-                    blob = streams[_KIND_DATA]
-                    offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
-                    arr = pa.array(
-                        [blob[offs[i]:offs[i + 1]].decode("utf-8")
-                         for i in range(len(lengths))], type=pa.string())
-            elif kind == 9:  # TIMESTAMP (two-stream ORC layout)
-                from ..stripe.columns import _decode_orc_nanos, _ORC_EPOCH_S
+        streams = self._column_streams(st, column)
+        present = None
+        if _KIND_PRESENT in streams:
+            present = bool_rle.decode(streams[_KIND_PRESENT],
+                                      st.number_of_rows)
+        if kind in (2, 3, 4):  # SHORT / INT / LONG — width-faithful
+            vals = ints(streams[_KIND_DATA], signed=True)
+            dt = {2: np.int16, 3: np.int32, 4: np.int64}[kind]
+            arr = pa.array(vals.astype(dt))
+        elif kind == 0:  # BOOLEAN
+            n_vals = int(present.sum()) if present is not None \
+                else st.number_of_rows
+            arr = pa.array(bool_rle.decode(streams[_KIND_DATA], n_vals)
+                           .astype(bool))
+        elif kind == 6:  # DOUBLE
+            arr = pa.array(np.frombuffer(streams[_KIND_DATA], dtype="<f8"))
+        elif kind == 5:  # FLOAT
+            arr = pa.array(np.frombuffer(streams[_KIND_DATA], dtype="<f4"))
+        elif kind == 7:  # STRING
+            lengths = ints(streams[_KIND_LENGTH], signed=False)
+            if enc in (_ENC_DICTIONARY_V2, _ENC_DICTIONARY):
+                entries = _strings_from_blob(
+                    streams[_KIND_DICTIONARY_DATA], lengths)
+                ids = ints(streams[_KIND_DATA], signed=False)
+                arr = entries.take(pa.array(ids))
+            else:
+                arr = _strings_from_blob(streams[_KIND_DATA], lengths)
+        elif kind == 9:  # TIMESTAMP (two-stream ORC layout)
+            from ..stripe.columns import _decode_orc_nanos, _ORC_EPOCH_S
 
-                secs = rlev2.decode(streams[_KIND_DATA], signed=True)
-                frac = rlev2.decode(streams[5], signed=False)
-                nanos = _decode_orc_nanos(frac.astype(np.int64))
-                us = (secs + _ORC_EPOCH_S) * 1_000_000 + nanos // 1_000
-                arr = pa.array(us).cast(pa.timestamp("us"))
-            elif kind == 15:  # DATE
-                days = rlev2.decode(streams[_KIND_DATA], signed=True)
-                arr = pa.array(days.astype(np.int32)).cast(pa.date32())
-            elif kind == 14:  # DECIMAL
-                from decimal import Decimal
+            secs = rlev2.decode(streams[_KIND_DATA], signed=True)
+            frac = rlev2.decode(streams[5], signed=False)
+            # arithmetic shift keeps the C++ writer's SIGNED nanos dialect
+            # (pre-1970 fractions stored as negative scaled nanos)
+            nanos = _decode_orc_nanos(frac.astype(np.int64))
+            unix_secs = secs + _ORC_EPOCH_S
+            # Java/Hive dialect: positive nanos with truncated-toward-zero
+            # seconds — readers subtract one second when writerTime < 0
+            adj = ((unix_secs < 0) & (nanos > 999_999)).astype(np.int64)
+            us = (unix_secs - adj) * 1_000_000 + nanos // 1_000
+            arr = pa.array(us).cast(pa.timestamp("us"))
+        elif kind == 15:  # DATE
+            days = rlev2.decode(streams[_KIND_DATA], signed=True)
+            arr = pa.array(days.astype(np.int32)).cast(pa.date32())
+        elif kind == 14:  # DECIMAL
+            from ..codecs import varint
 
-                from ..codecs import varint
-
-                mant = varint.decode(streams[_KIND_DATA], signed=True)
-                scale = rlev2.decode(streams[5], signed=True)
-                prec = self.types[column].get(5, [38])[0]
-                scl = self.types[column].get(6, [0])[0]
-                arr = pa.array([Decimal(int(m)).scaleb(-int(s))
-                                for m, s in zip(mant, scale)],
-                               type=pa.decimal128(prec, scl))
-            elif kind == 12:  # STRUCT (single-stripe files — our writer's)
-                if len(self.stripes) > 1:  # pragma: no cover
-                    raise NotImplementedError("multi-stripe STRUCT decode")
-                child_ids = self.types[column].get(2, [])
-                names = [v.decode("utf-8")
-                         for v in self.types[column].get(3, [])]
-                children = []
-                for cid in child_ids:
-                    c = self._read_any_column(int(cid))
-                    children.append(c.combine_chunks()
-                                    if isinstance(c, pa.ChunkedArray) else c)
-                if present is not None:
-                    idx = pa.array(np.maximum(np.cumsum(present) - 1, 0))
-                    children = [c.take(idx) for c in children]
-                    arr = pa.StructArray.from_arrays(
-                        children, names, mask=pa.array(~present))
-                    present = None  # expansion handled here
-                else:
-                    arr = pa.StructArray.from_arrays(children, names)
-            elif kind == 10:  # LIST (single-stripe files — our writer's)
-                if len(self.stripes) > 1:  # pragma: no cover
-                    raise NotImplementedError("multi-stripe LIST decode")
-                lengths = rlev2.decode(streams[_KIND_LENGTH], signed=False)
-                child_id = self.types[column].get(2, [column + 1])[0]
-                child = self._read_any_column(int(child_id))
-                offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
-                arr = pa.LargeListArray.from_arrays(
-                    pa.array(offs, type=pa.int64()),
-                    child.combine_chunks()
-                    if isinstance(child, pa.ChunkedArray) else child)
-            else:  # pragma: no cover
-                raise NotImplementedError(f"ORC type kind {kind}")
+            mant = varint.decode(streams[_KIND_DATA], signed=True)
+            scale = rlev2.decode(streams[5], signed=True)
+            prec = self.types[column].get(5, [38])[0]
+            scl = self.types[column].get(6, [0])[0]
+            arr = _decimals_from_parts(mant, scale, prec, scl)
+        elif kind == 12:  # STRUCT
+            child_ids = self.subtypes(column)
+            names = [v.decode("utf-8")
+                     for v in self.types[column].get(3, [])]
+            children = []
+            for cid in child_ids:
+                c = self._read_column_stripe(st, int(cid))
+                children.append(c.combine_chunks()
+                                if isinstance(c, pa.ChunkedArray) else c)
             if present is not None:
-                # expand dense values to row slots, null where absent
-                import pyarrow.compute as pc
+                idx = pa.array(np.maximum(np.cumsum(present) - 1, 0))
+                children = [c.take(idx) for c in children]
+                arr = pa.StructArray.from_arrays(
+                    children, names, mask=pa.array(~present))
+                present = None  # expansion handled here
+            else:
+                arr = pa.StructArray.from_arrays(children, names)
+        elif kind == 10:  # LIST
+            lengths = rlev2.decode(streams[_KIND_LENGTH], signed=False)
+            subs = self.subtypes(column)
+            child_id = subs[0] if subs else column + 1
+            child = self._read_column_stripe(st, int(child_id))
+            offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+            arr = pa.LargeListArray.from_arrays(
+                pa.array(offs, type=pa.int64()),
+                child.combine_chunks()
+                if isinstance(child, pa.ChunkedArray) else child)
+        else:  # pragma: no cover
+            raise NotImplementedError(f"ORC type kind {kind}")
+        if present is not None:
+            # expand dense values to row slots, null where absent
+            import pyarrow.compute as pc
 
-                idx = np.maximum(np.cumsum(present) - 1, 0)
-                dense = arr.take(pa.array(idx))
-                arr = pc.if_else(pa.array(present), dense,
-                                 pa.nulls(st.number_of_rows, arr.type))
-            parts.append(arr.combine_chunks()
-                         if isinstance(arr, pa.ChunkedArray) else arr)
-        return pa.concat_arrays(parts)
+            idx = np.maximum(np.cumsum(present) - 1, 0)
+            dense = arr.take(pa.array(idx))
+            arr = pc.if_else(pa.array(present), dense,
+                             pa.nulls(st.number_of_rows, arr.type))
+        return arr
 
     def read_decimal_column(self, column: int) -> list:
         """Decode a decimal column (DIRECT_V2): DATA = zigzag varint
@@ -358,23 +462,21 @@ class OrcFile:
         UTF-8, LENGTH = unsigned RLEv2 entry lengths) or DIRECT_V2
         (DATA = packed UTF-8, LENGTH = unsigned RLEv2 row lengths) —
         both drive the repo's RLEv2 decoder on the unsigned path."""
+        import pyarrow as pa
+
         out: list = []
         for st in self.stripes:
-            enc = self.column_encoding(column)
+            enc = self._stripe_encoding(st, column)
             streams = self._column_streams(st, column)
             lengths = rlev2.decode(streams[_KIND_LENGTH], signed=False)
             if enc == _ENC_DICTIONARY_V2:
-                blob = streams[_KIND_DICTIONARY_DATA]
-                offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
-                entries = [blob[offs[i]:offs[i + 1]].decode("utf-8")
-                           for i in range(len(lengths))]
+                entries = _strings_from_blob(
+                    streams[_KIND_DICTIONARY_DATA], lengths)
                 ids = rlev2.decode(streams[_KIND_DATA], signed=False)
-                out.extend(entries[int(i)] for i in ids)
+                out.extend(entries.take(pa.array(ids)).to_pylist())
             elif enc == _ENC_DIRECT_V2:
-                blob = streams[_KIND_DATA]
-                offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
-                out.extend(blob[offs[i]:offs[i + 1]].decode("utf-8")
-                           for i in range(len(lengths)))
+                out.extend(_strings_from_blob(
+                    streams[_KIND_DATA], lengths).to_pylist())
             else:  # pragma: no cover
                 raise NotImplementedError(f"string encoding {enc}")
         return out
@@ -387,7 +489,7 @@ class OrcFile:
         assertion)."""
         parts = []
         for st in self.stripes:
-            enc = self.column_encoding(column)
+            enc = self._stripe_encoding(st, column)
             if enc not in (_ENC_DIRECT_V2,):
                 raise NotImplementedError(
                     f"column encoding {enc} (only DIRECT_V2 wired)")
@@ -433,7 +535,8 @@ def read_file_stats(path: str) -> dict[str, dict]:
         tail[-1 - ps_len - footer_len:-1 - ps_len], compression))
     types = [pb_parse(raw) for raw in footer.get(4, [])]
     names = [v.decode("utf-8") for v in types[0].get(3, [])]
-    top_ids = types[0].get(2, list(range(1, len(names) + 1)))
+    top_ids = pb_repeated_uint(types[0].get(2, [])) \
+        or list(range(1, len(names) + 1))
     stats = [pb_parse(raw) for raw in footer.get(7, [])]
     out: dict[str, dict] = {}
     for name, cid in zip(names, top_ids):
@@ -505,8 +608,11 @@ def read_orc_files(paths, columns: list[str] | None = None,
     def decode(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        tables = [OrcFile(p).read_table(columns=columns)
-                  for p in batch.column("path").to_pylist()]
+        tables = []
+        for p in batch.column("path").to_pylist():
+            f = OrcFile(p)
+            tables.append(f.read_table(columns=columns))
+            f.close()
         t = pa.concat_tables(tables)
         if predicate is not None:  # exact row filter after the file prune
             col, op, lit = predicate

@@ -57,6 +57,32 @@ def test_matches_pyarrow_orc(demo):
     assert (ours == theirs).all()
 
 
+def test_read_table_demo_packed_subtypes(demo):
+    """read_table on the Hive-written file: Type.subtypes arrives PACKED
+    (one length-delimited varint blob — proto2 [packed=true]), which
+    pb_repeated_uint must unpack for top_ids/STRUCT/LIST resolution.
+    Full-table value cross-check against pyarrow's C++ reader."""
+    import pyarrow as pa
+
+    po = pytest.importorskip("pyarrow.orc")
+    theirs = po.ORCFile(DEMO).read()
+    mine = demo.read_table().rename_columns(theirs.schema.names)
+    assert mine.num_rows == theirs.num_rows
+    for c in theirs.schema.names:
+        a = pa.chunked_array([mine.column(c)]) \
+            .cast(theirs.schema.field(c).type)
+        assert a.equals(theirs.column(c)), c
+
+
+def test_read_file_stats_demo_packed_subtypes():
+    """read_file_stats must survive packed subtypes too (tail-only read)."""
+    from apacheorcdotnet_ray.sources.orc_reader import read_file_stats
+
+    stats = read_file_stats(DEMO)
+    assert stats["_col0"] == {"n": 1_920_800, "min": 1, "max": 1_920_800}
+    assert stats["_col1"]["min"] == "F" and stats["_col1"]["max"] == "M"
+
+
 @pytest.mark.parametrize("column", [2, 3, 4, 6])
 def test_string_columns_match_pyarrow(demo, column):
     """DICTIONARY_V2 string columns (unsigned RLEv2 ids + lengths) decoded

@@ -60,6 +60,51 @@ def test_negative_delta_and_wrap():
     assert (rlev1.decode(buf, signed=True) == v).all()
 
 
+def test_signed_delta_run_pyarrow_crosscheck():
+    """Signed delta runs: ORC applies the delta to the zigzag-DECODED base
+    (value domain), not to the raw varint. Pin the dialect against
+    pyarrow's independent C++ ORC reader on a hand-assembled v1 file."""
+    import tempfile, os
+
+    import pyarrow.orc as porc
+
+    from apacheorcdotnet_ray.sources import orc_writer as W
+    from apacheorcdotnet_ray.sources.orc_reader import OrcFile
+
+    vals = np.concatenate([
+        np.arange(5, 135, dtype=np.int64),             # delta +1 run
+        np.array([-7, 9, -1000000], dtype=np.int64),   # literals, negatives
+        np.arange(50, -80, -2, dtype=np.int64),        # delta -2 run
+    ])
+    data = rlev1.encode(vals, signed=True)
+    got = rlev1.decode(data, signed=True, expected_count=len(vals))
+    assert (got == vals).all()
+
+    n = len(vals)
+    sf = W.pb_msg(
+        W.pb_field(1, W.pb_msg(W.pb_field(1, 1), W.pb_field(2, 1),
+                               W.pb_field(3, len(data)))),
+        W.pb_field(2, W.pb_msg(W.pb_field(1, 0))),   # root DIRECT
+        W.pb_field(2, W.pb_msg(W.pb_field(1, 0))),   # int DIRECT (v1)
+    )
+    types = [W.pb_msg(W.pb_field(1, 12), W.pb_field(2, 1), W.pb_field(3, "i")),
+             W.pb_msg(W.pb_field(1, 4))]
+    si = W.pb_msg(W.pb_field(1, 3), W.pb_field(2, 0), W.pb_field(3, len(data)),
+                  W.pb_field(4, len(sf)), W.pb_field(5, n))
+    footer = W.pb_msg(W.pb_field(1, 3), W.pb_field(2, 3 + len(data) + len(sf)),
+                      W.pb_field(3, si), *[W.pb_field(4, t) for t in types],
+                      W.pb_field(6, n), W.pb_field(8, 0))
+    ps = W.pb_msg(W.pb_field(1, len(footer)), W.pb_field(2, 0),
+                  W.pb_field(3, 256 * 1024), W.pb_field(4, 0),
+                  W.pb_field(4, 11), W.pb_field(5, 0), W.pb_field(8000, "ORC"))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "v1signed.orc")
+        with open(p, "wb") as f:
+            f.write(b"ORC" + data + sf + footer + ps + bytes([len(ps)]))
+        assert (OrcFile(p).read_table().column("i").to_numpy() == vals).all()
+        assert (porc.ORCFile(p).read().column("i").to_numpy() == vals).all()
+
+
 def test_v1_encoded_orc_column_reads():
     """A hand-assembled ORC file with DIRECT(0) v1-encoded int and
     DICTIONARY(1) v1-encoded string columns decodes through the reader's
