@@ -4,30 +4,49 @@ The reference's headline capability is writing ORC files other engines can
 read (``/root/reference/src/ApacheOrcDotNet/OrcWriter.cs``,
 ``Stripes/StripeWriter.cs:241-333``). This module closes that gap for the
 Ray engine: integer columns go through ``codecs.rlev2`` (the byte-faithful
-reimplementation of the reference's writer), strings through DIRECT_V2
-LENGTH streams, doubles as IEEE-LE, nulls through ``codecs.bool_rle``
+reimplementation of the reference's writer), strings through DIRECT_V2 /
+DICTIONARY_V2, doubles as IEEE-LE, nulls through ``codecs.bool_rle``
 PRESENT streams — all laid out per the public ORC spec (magic, stripes,
-protobuf StripeFooter/Footer/PostScript, ZLIB or ZSTD chunk framing).
-Conformance check: ``tests/test_orc_conformance.py`` round-trips files
-through BOTH pyarrow's independent C++ ORC reader and this repo's
+protobuf StripeFooter/Metadata/Footer/PostScript, ZLIB or ZSTD chunk
+framing). Conformance check: ``tests/test_orc_conformance.py`` round-trips
+files through BOTH pyarrow's independent C++ ORC reader and this repo's
 ``orc_reader``.
 
-Supported column types: int8/16/32/64 → LONG, string, float64 → DOUBLE,
-bool → BOOLEAN, timestamp → TIMESTAMP (the container's shared two-stream
-kernel: floor-division seconds + trailing-zero-stripped nanos), date32 →
-DATE, decimal(≤18 digits) → DECIMAL (varint mantissas + RLEv2 scales);
-nullable throughout. Nested types stay on the repo's own container format,
-which is the production surface.
+Production-grade layout (the reference flushes a stripe per ~64 MB with a
+ROW_INDEX every 10k rows — ``StripeWriter.cs:116-191``,
+``OrcWriter.cs:57-104``):
+
+- **multi-stripe**: rows are split into stripes by a byte budget (64 MB
+  default) or an explicit ``stripe_rows``;
+- **ROW_INDEX streams**: every RLE/bool/raw stream restarts its encoder at
+  each ``row_index_stride`` boundary, so RowIndexEntry positions are exact
+  ([chunk offset, offset in chunk][, run offset, bit offset] per the spec)
+  and downstream readers can seek/prune row groups. Per-entry column
+  statistics included;
+- **Metadata section**: per-stripe ColumnStatistics (StripeStatistics);
+- **true per-node statistics**: numberOfValues is the node's own non-null
+  count (LIST children count their flattened values), and hasNull (field
+  10) is always emitted;
+- **timestamps**: the C++ ORC dialect — seconds truncated toward zero,
+  SIGNED scaled nanos for pre-1970 fractional values (cross-checked
+  byte-level against pyarrow's writer on 1969-12-31 23:59:59.5).
+
+Supported column types: int8/16/32/64 → SHORT/INT/LONG, string (dictionary
+or direct per the reference's 0.8 distinct-ratio rule), float64 → DOUBLE,
+bool → BOOLEAN, timestamp → TIMESTAMP, date32 → DATE, decimal(≤18 digits)
+→ DECIMAL, struct → STRUCT, list → LIST; nullable throughout.
 """
 
 from __future__ import annotations
 
+import struct
 import zlib
+from bisect import bisect_right
 
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import bool_rle, rlev2
+from ..codecs import bool_rle, rlev2, varint
 
 # --- minimal protobuf wire-format writer ------------------------------------
 
@@ -53,160 +72,12 @@ def pb_field(tag: int, value) -> bytes:
     return _vint(tag << 3 | 2) + _vint(len(value)) + value
 
 
+def pb_field_double(tag: int, value: float) -> bytes:
+    return _vint(tag << 3 | 1) + struct.pack("<d", value)
+
+
 def pb_msg(*fields: bytes) -> bytes:
     return b"".join(fields)
-
-
-# --- stream building ---------------------------------------------------------
-
-_KIND = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "DICTIONARY_DATA": 3,
-         "SECONDARY": 5}
-_TYPE_LONG, _TYPE_STRING, _TYPE_DOUBLE, _TYPE_BOOLEAN, _TYPE_STRUCT = 4, 7, 6, 0, 12
-_TYPE_TIMESTAMP, _TYPE_DECIMAL, _TYPE_DATE, _TYPE_LIST = 9, 14, 15, 10
-_TYPE_SHORT, _TYPE_INT = 2, 3
-_ENC_DIRECT, _ENC_DIRECT_V2, _ENC_DICTIONARY_V2 = 0, 2, 3
-_V2_KINDS = (_TYPE_SHORT, _TYPE_INT, _TYPE_LONG, _TYPE_STRING,
-             _TYPE_TIMESTAMP, _TYPE_DATE, _TYPE_DECIMAL, _TYPE_LIST)
-
-
-def _frame(raw: bytes, compression: str, block: int = 256 * 1024) -> bytes:
-    """ORC compressed-stream framing: 3-byte LE header per chunk,
-    (len << 1) | is_original; compressed body, stored when bigger."""
-    if compression == "none":
-        return raw
-    out = bytearray()
-    for i in range(0, len(raw), block):
-        chunk = raw[i:i + block]
-        if compression == "zlib":
-            comp = zlib.compress(chunk, 6)[2:-4]  # raw deflate body
-        else:  # zstd frame (ORC compression kind 5)
-            import pyarrow as _pa
-
-            comp = bytes(_pa.Codec("zstd").compress(chunk))
-        if len(comp) < len(chunk):
-            out += int.to_bytes(len(comp) << 1, 3, "little") + comp
-        else:
-            out += int.to_bytes((len(chunk) << 1) | 1, 3, "little") + chunk
-    return bytes(out)
-
-
-def _column_streams(col: pa.ChunkedArray | pa.Array) -> tuple[int, list[tuple[str, bytes]]]:
-    """(orc type kind, [(stream kind name, raw bytes)]) for one column."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    streams: list[tuple[str, bytes]] = []
-    if arr.null_count:
-        present = np.invert(np.asarray(arr.is_null()))
-        streams.append(("PRESENT", bool_rle.encode(present)))
-        arr = arr.drop_null()
-    t = arr.type
-    if pa.types.is_integer(t):
-        vals = arr.to_numpy(zero_copy_only=False).astype(np.int64)
-        streams.append(("DATA", rlev2.encode(vals, signed=True)))
-        # type-faithful width so readers restore int16/int32 columns
-        kind = _TYPE_SHORT if t.bit_width <= 16 else \
-            _TYPE_INT if t.bit_width == 32 else _TYPE_LONG
-        return kind, streams
-    if pa.types.is_boolean(t):
-        streams.append(("DATA", bool_rle.encode(
-            arr.to_numpy(zero_copy_only=False).astype(bool))))
-        return _TYPE_BOOLEAN, streams
-    if pa.types.is_floating(t):
-        vals = arr.to_numpy(zero_copy_only=False).astype("<f8")
-        streams.append(("DATA", vals.tobytes()))
-        return _TYPE_DOUBLE, streams
-    if pa.types.is_timestamp(t):
-        # ORC two-stream layout (shared kernel with the repo container):
-        # DATA = signed seconds since 2015-01-01 UTC, SECONDARY = nanos
-        # with trailing decimal zeros stripped, (scaled << 3) | zeros
-        from ..stripe.columns import _encode_orc_nanos, _ORC_EPOCH_S, _UNIT_FACTOR
-
-        factor = _UNIT_FACTOR[t.unit]
-        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        secs = v // factor - _ORC_EPOCH_S
-        nanos = (v % factor) * (1_000_000_000 // factor)
-        streams.append(("DATA", rlev2.encode(secs, signed=True)))
-        streams.append(("SECONDARY",
-                        rlev2.encode(_encode_orc_nanos(nanos), signed=False)))
-        return _TYPE_TIMESTAMP, streams
-    if pa.types.is_date(t):
-        days = arr.cast(pa.int32()).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        streams.append(("DATA", rlev2.encode(days, signed=True)))
-        return _TYPE_DATE, streams
-    if pa.types.is_decimal(t):
-        from ..codecs import varint
-
-        mant = np.array([int(v.as_py().scaleb(t.scale)) for v in arr],
-                        dtype=np.int64)
-        streams.append(("DATA", varint.encode(mant, signed=True)))
-        streams.append(("SECONDARY", rlev2.encode(
-            np.full(len(arr), t.scale, dtype=np.int64), signed=True)))
-        return (_TYPE_DECIMAL,
-                pb_field(5, t.precision) + pb_field(6, t.scale)), streams
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        # the reference's dictionary-vs-direct decision (StringWriter.cs:
-        # 89-92, 155-249): distinct ratio <= 0.8 -> DICTIONARY_V2 with a
-        # sorted dictionary; else DIRECT_V2
-        import pyarrow.compute as pc
-
-        uniq = pc.unique(arr)
-        if len(arr) and len(uniq) / len(arr) <= 0.8:
-            dct = uniq.sort()
-            ids = pc.index_in(arr, value_set=dct).cast(pa.int64()) \
-                .to_numpy(zero_copy_only=False)
-            entries = dct.to_pylist()
-            blob = "".join(entries).encode("utf-8")
-            dlens = np.array([len(e.encode("utf-8")) for e in entries],
-                             dtype=np.int64)
-            streams.append(("DATA", rlev2.encode(ids, signed=False)))
-            streams.append(("DICTIONARY_DATA", blob))
-            streams.append(("LENGTH", rlev2.encode(dlens, signed=False)))
-            return (_TYPE_STRING, b"", _ENC_DICTIONARY_V2,
-                    len(entries)), streams
-        sa = arr.cast(pa.large_string())
-        offs = np.frombuffer(sa.buffers()[1], dtype=np.int64,
-                             count=len(sa) + 1, offset=8 * sa.offset)
-        lengths = np.diff(offs)
-        buf = sa.buffers()[2]
-        data = buf.to_pybytes()[offs[0]:offs[-1]] if buf is not None else b""
-        streams.append(("DATA", data))
-        streams.append(("LENGTH", rlev2.encode(lengths, signed=False)))
-        return _TYPE_STRING, streams
-    raise NotImplementedError(f"ORC writer: unsupported type {t}")
-
-
-def _column_statistics(table: pa.Table, kinds_by_id: dict[int, int],
-                       top_ids: list[int]) -> list[bytes]:
-    """Footer ColumnStatistics in column-id order (public orc proto field
-    numbers: 1 numberOfValues; intStatistics=2 {1 min, 2 max, 3 sum};
-    stringStatistics=4 {1 min, 2 max}; doubleStatistics=3 {1 min, 2 max}).
-    Only top-level int/string/double columns get min/max — enough for
-    file-level predicate pruning; other ids carry counts only."""
-    import pyarrow.compute as pc
-
-    max_id = max(kinds_by_id) if kinds_by_id else 0
-    stats = []
-    by_top = {cid: table.column(i) for i, cid in enumerate(top_ids)}
-    for cid in range(max_id + 1):
-        if cid == 0:
-            stats.append(pb_msg(pb_field(1, table.num_rows)))
-            continue
-        col = by_top.get(cid)
-        n = (len(col) - col.null_count) if col is not None else table.num_rows
-        msg = pb_field(1, n)
-        if col is not None and n:
-            t = col.type
-            if pa.types.is_integer(t):
-                msg += pb_field(2, pb_msg(
-                    pb_field(1, _zz(int(pc.min(col).as_py()))),
-                    pb_field(2, _zz(int(pc.max(col).as_py()))),
-                    pb_field(3, _zz(int(pc.sum(col).as_py())))))
-            elif pa.types.is_string(t) or pa.types.is_large_string(t):
-                msg += pb_field(4, pb_msg(
-                    pb_field(1, str(pc.min(col).as_py())),
-                    pb_field(2, str(pc.max(col).as_py()))))
-        stats.append(pb_msg(msg))
-    return stats
 
 
 def _zz(v: int) -> int:
@@ -214,127 +85,488 @@ def _zz(v: int) -> int:
     return (v << 1) ^ (v >> 63)  # Python's arithmetic shift: -1 for v<0
 
 
-def _encode_node(arr, next_id: list[int]):
-    """Encode one column subtree in ORC pre-order. Returns
-    (type protobuf messages, encoding messages, [(stream kind, column id,
-    raw bytes)]) — ids assigned depth-first so LIST children follow their
-    parent (the public ORC column numbering)."""
-    my_id = next_id[0]
+# --- constants ---------------------------------------------------------------
+
+_KIND = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "DICTIONARY_DATA": 3,
+         "SECONDARY": 5, "ROW_INDEX": 6}
+_TYPE_LONG, _TYPE_STRING, _TYPE_DOUBLE, _TYPE_BOOLEAN, _TYPE_STRUCT = 4, 7, 6, 0, 12
+_TYPE_TIMESTAMP, _TYPE_DECIMAL, _TYPE_DATE, _TYPE_LIST = 9, 14, 15, 10
+_TYPE_SHORT, _TYPE_INT = 2, 3
+_ENC_DIRECT, _ENC_DIRECT_V2, _ENC_DICTIONARY_V2 = 0, 2, 3
+
+_DEFAULT_STRIPE_BYTES = 64 * 2**20   # the reference's WriterConfiguration
+_DEFAULT_STRIDE = 10_000
+
+
+# --- schema walk (type tree is data-independent) -----------------------------
+
+
+class _Node:
+    __slots__ = ("id", "type", "kind", "children")
+
+    def __init__(self, nid: int, t: pa.DataType, kind: int,
+                 children: list["_Node"]):
+        self.id, self.type, self.kind, self.children = nid, t, kind, children
+
+
+def _build_node(t: pa.DataType, next_id: list[int]) -> _Node:
+    nid = next_id[0]
     next_id[0] += 1
-    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    t = a.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        recs: list[tuple[str, bytes]] = []
-        if a.null_count:
-            present = np.invert(np.asarray(a.is_null()))
-            recs.append(("PRESENT", bool_rle.encode(present)))
-            a = a.drop_null()
+        return _Node(nid, t, _TYPE_LIST, [_build_node(t.value_type, next_id)])
+    if pa.types.is_struct(t):
+        return _Node(nid, t, _TYPE_STRUCT,
+                     [_build_node(t.field(i).type, next_id)
+                      for i in range(t.num_fields)])
+    if pa.types.is_integer(t):
+        kind = _TYPE_SHORT if t.bit_width <= 16 else \
+            _TYPE_INT if t.bit_width == 32 else _TYPE_LONG
+        return _Node(nid, t, kind, [])
+    if pa.types.is_boolean(t):
+        return _Node(nid, t, _TYPE_BOOLEAN, [])
+    if pa.types.is_floating(t):
+        return _Node(nid, t, _TYPE_DOUBLE, [])
+    if pa.types.is_timestamp(t):
+        return _Node(nid, t, _TYPE_TIMESTAMP, [])
+    if pa.types.is_date(t):
+        return _Node(nid, t, _TYPE_DATE, [])
+    if pa.types.is_decimal(t):
+        return _Node(nid, t, _TYPE_DECIMAL, [])
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return _Node(nid, t, _TYPE_STRING, [])
+    raise NotImplementedError(f"ORC writer: unsupported type {t}")
+
+
+def _type_msgs(node: _Node) -> list[bytes]:
+    """Pre-order protobuf Type messages for a subtree."""
+    if node.kind == _TYPE_LIST:
+        return [pb_msg(pb_field(1, _TYPE_LIST),
+                       pb_field(2, node.children[0].id))] \
+            + _type_msgs(node.children[0])
+    if node.kind == _TYPE_STRUCT:
+        head = pb_msg(pb_field(1, _TYPE_STRUCT),
+                      *[pb_field(2, c.id) for c in node.children],
+                      *[pb_field(3, node.type.field(i).name)
+                        for i in range(node.type.num_fields)])
+        out = [head]
+        for c in node.children:
+            out.extend(_type_msgs(c))
+        return out
+    if node.kind == _TYPE_DECIMAL:
+        return [pb_msg(pb_field(1, _TYPE_DECIMAL),
+                       pb_field(5, node.type.precision),
+                       pb_field(6, node.type.scale))]
+    return [pb_msg(pb_field(1, node.kind))]
+
+
+# --- segmented stream builders (encoder restarts at row-group bounds) --------
+
+
+def _seg_rle(vals: np.ndarray, signed: bool, bounds) -> tuple[bytes, list]:
+    parts, poss, off = [], [], 0
+    ends = list(bounds[1:]) + [len(vals)]
+    for a, b in zip(bounds, ends):
+        poss.append([off, 0])
+        seg = rlev2.encode(np.ascontiguousarray(vals[int(a):int(b)]),
+                           signed=signed)
+        parts.append(seg)
+        off += len(seg)
+    return b"".join(parts), poss
+
+
+def _seg_varint(vals: np.ndarray, signed: bool, bounds) -> tuple[bytes, list]:
+    parts, poss, off = [], [], 0
+    ends = list(bounds[1:]) + [len(vals)]
+    for a, b in zip(bounds, ends):
+        poss.append([off])
+        seg = varint.encode(np.ascontiguousarray(vals[int(a):int(b)]),
+                            signed=signed)
+        parts.append(seg)
+        off += len(seg)
+    return b"".join(parts), poss
+
+
+def _seg_bool(bits: np.ndarray, bounds) -> tuple[bytes, list]:
+    """Boolean / PRESENT stream restarted at each row group's byte; the
+    position triple is [stream offset, byte-RLE run offset (0 — restart),
+    bit offset within the byte]."""
+    n_bytes = (len(bits) + 7) // 8
+    byte_starts = sorted({int(b) // 8 for b in bounds} | {0})
+    seg_off: dict[int, int] = {}
+    parts, off = [], 0
+    for i, bs in enumerate(byte_starts):
+        be = byte_starts[i + 1] if i + 1 < len(byte_starts) else n_bytes
+        seg = bool_rle.encode(
+            np.ascontiguousarray(bits[bs * 8:min(be * 8, len(bits))]))
+        seg_off[bs] = off
+        parts.append(seg)
+        off += len(seg)
+    poss = [[seg_off[int(b) // 8], 0, int(b) % 8] for b in bounds]
+    return b"".join(parts), poss
+
+
+# --- per-node column statistics ----------------------------------------------
+
+
+def _stats_msg(arr: pa.Array | None, n_rows: int = 0) -> bytes:
+    """ColumnStatistics: true numberOfValues (this node's own non-null
+    count) + hasNull, plus min/max(/sum) for int/double/string/bool."""
+    import pyarrow.compute as pc
+
+    if arr is None:  # root struct
+        return pb_msg(pb_field(1, n_rows), pb_field(10, 0))
+    nn = len(arr) - arr.null_count
+    msg = pb_field(1, nn)
+    t = arr.type
+    if nn:
+        if pa.types.is_integer(t):
+            mm = pc.min_max(arr)
+            sub = pb_msg(pb_field(1, _zz(int(mm["min"].as_py()))),
+                         pb_field(2, _zz(int(mm["max"].as_py()))))
+            try:
+                sub += pb_field(3, _zz(int(pc.sum(arr).as_py())))
+            except pa.ArrowInvalid:  # pragma: no cover - int64 overflow
+                pass
+            msg += pb_field(2, sub)
+        elif pa.types.is_floating(t):
+            mm = pc.min_max(arr)
+            msg += pb_field(3, pb_msg(
+                pb_field_double(1, float(mm["min"].as_py())),
+                pb_field_double(2, float(mm["max"].as_py())),
+                pb_field_double(3, float(pc.sum(arr).as_py()))))
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            mm = pc.min_max(arr)
+            msg += pb_field(4, pb_msg(
+                pb_field(1, str(mm["min"].as_py())),
+                pb_field(2, str(mm["max"].as_py()))))
+        elif pa.types.is_boolean(t):
+            msg += pb_field(5, pb_msg(pb_field(
+                1, b"".join([_vint(int(pc.sum(arr).as_py() or 0))]))))
+    msg += pb_field(10, 1 if arr.null_count else 0)
+    return pb_msg(msg)
+
+
+# --- per-stripe node encode ----------------------------------------------
+
+
+def _encode_node_stripe(node: _Node, arr, row_bounds: np.ndarray,
+                        recs: list, encs: dict, stats_rows: list) -> None:
+    """Encode one column subtree for ONE stripe. ``row_bounds`` are the
+    row-group start indices in this node's own row space; they propagate
+    to children through PRESENT densification and LIST lengths so every
+    stream's per-group restart offsets line up with the same top-level
+    row groups."""
+    import pyarrow.compute as pc
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    stats_rows.append((node.id, a, row_bounds))
+    streams: list[tuple[str, bytes, list | None]] = []
+    if a.null_count:
+        present = np.invert(np.asarray(a.is_null()))
+        cp = np.zeros(len(a) + 1, dtype=np.int64)
+        np.cumsum(present, out=cp[1:])
+        dense_bounds = cp[row_bounds]
+        raw, poss = _seg_bool(present, row_bounds)
+        streams.append(("PRESENT", raw, poss))
+        d = a.drop_null()
+    else:
+        dense_bounds = row_bounds
+        d = a
+    t = node.type
+    if node.kind == _TYPE_LIST:
+        lengths = pc.list_value_length(d).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if len(d) else np.empty(0, np.int64)
+        raw, poss = _seg_rle(lengths, False, dense_bounds)
+        streams.append(("LENGTH", raw, poss))
+        encs[node.id] = pb_msg(pb_field(1, _ENC_DIRECT_V2))
+        recs.extend((_KIND[n], node.id, r, p) for n, r, p in streams)
+        cl = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=cl[1:])
+        child_bounds = cl[dense_bounds]
+        _encode_node_stripe(node.children[0], d.flatten(), child_bounds,
+                            recs, encs, stats_rows)
+        return
+    if node.kind == _TYPE_STRUCT:
+        encs[node.id] = pb_msg(pb_field(1, _ENC_DIRECT))
+        recs.extend((_KIND[n], node.id, r, p) for n, r, p in streams)
+        for fi, child in enumerate(node.children):
+            _encode_node_stripe(child, d.field(fi), dense_bounds,
+                                recs, encs, stats_rows)
+        return
+    # --- scalar leaves ---
+    enc_msg = pb_msg(pb_field(1, _ENC_DIRECT_V2))
+    if node.kind in (_TYPE_SHORT, _TYPE_INT, _TYPE_LONG):
+        vals = d.to_numpy(zero_copy_only=False).astype(np.int64)
+        raw, poss = _seg_rle(vals, True, dense_bounds)
+        streams.append(("DATA", raw, poss))
+    elif node.kind == _TYPE_BOOLEAN:
+        bits = d.to_numpy(zero_copy_only=False).astype(bool)
+        raw, poss = _seg_bool(bits, dense_bounds)
+        streams.append(("DATA", raw, poss))
+        enc_msg = pb_msg(pb_field(1, _ENC_DIRECT))
+    elif node.kind == _TYPE_DOUBLE:
+        vals = d.to_numpy(zero_copy_only=False).astype("<f8")
+        streams.append(("DATA", vals.tobytes(),
+                        [[8 * int(b)] for b in dense_bounds]))
+        enc_msg = pb_msg(pb_field(1, _ENC_DIRECT))
+    elif node.kind == _TYPE_TIMESTAMP:
+        # C++ ORC dialect: seconds truncated toward ZERO, SIGNED scaled
+        # nanos for pre-1970 fractions (pyarrow writes -0.5s as secs=0,
+        # nanos=-5e8 → frac -33); readers apply the Java positive-nanos
+        # adjustment only when nanos > 999999, which signed nanos dodge.
+        from ..stripe.columns import (_ORC_EPOCH_S, _UNIT_FACTOR,
+                                      _encode_orc_nanos)
+
+        factor = _UNIT_FACTOR[t.unit]
+        v = d.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        secs = v // factor
+        rem = v - secs * factor            # in [0, factor)
+        negfrac = ((v < 0) & (rem != 0)).astype(np.int64)
+        secs = secs + negfrac              # truncate toward zero
+        nanos = (rem - negfrac * factor) * (1_000_000_000 // factor)
+        raw, poss = _seg_rle(secs - _ORC_EPOCH_S, True, dense_bounds)
+        streams.append(("DATA", raw, poss))
+        raw, poss = _seg_rle(_encode_orc_nanos(nanos), False, dense_bounds)
+        streams.append(("SECONDARY", raw, poss))
+    elif node.kind == _TYPE_DATE:
+        days = d.cast(pa.int32()).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        raw, poss = _seg_rle(days, True, dense_bounds)
+        streams.append(("DATA", raw, poss))
+    elif node.kind == _TYPE_DECIMAL:
+        buf = d.buffers()[1]
+        pairs = np.frombuffer(buf, dtype=np.int64,
+                              count=2 * (d.offset + len(d)))
+        mant = pairs.reshape(-1, 2)[d.offset:d.offset + len(d), 0].copy()
+        raw, poss = _seg_varint(mant, True, dense_bounds)
+        streams.append(("DATA", raw, poss))
+        raw, poss = _seg_rle(np.full(len(d), t.scale, dtype=np.int64),
+                             True, dense_bounds)
+        streams.append(("SECONDARY", raw, poss))
+    elif node.kind == _TYPE_STRING:
         import pyarrow.compute as pc
 
-        lengths = pc.list_value_length(a).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        recs.append(("LENGTH", rlev2.encode(lengths, signed=False)))
-        child_types, child_encs, child_streams = _encode_node(
-            a.flatten(), next_id)
-        types = [pb_msg(pb_field(1, _TYPE_LIST), pb_field(2, my_id + 1))] \
-            + child_types
-        encs = [pb_msg(pb_field(1, _ENC_DIRECT_V2))] + child_encs
-        streams = [(k, my_id, raw) for k, raw in
-                   ((_KIND[n], raw) for n, raw in recs)] + child_streams
-        return types, encs, streams
-    if pa.types.is_struct(t):
-        recs = []
-        if a.null_count:
-            present = np.invert(np.asarray(a.is_null()))
-            recs.append((_KIND["PRESENT"], my_id, bool_rle.encode(present)))
-            a = a.drop_null()
-        types = [None]  # placeholder: needs children's pre-order ids
-        encs = [pb_msg(pb_field(1, _ENC_DIRECT))]
-        child_ids = []
-        streams = list(recs)
-        for fi in range(t.num_fields):
-            child_ids.append(next_id[0])
-            ct, ce, cs = _encode_node(a.field(fi), next_id)
-            types.extend(ct)
-            encs.extend(ce)
-            streams.extend(cs)
-        types[0] = pb_msg(pb_field(1, _TYPE_STRUCT),
-                          *[pb_field(2, i) for i in child_ids],
-                          *[pb_field(3, t.field(fi).name)
-                            for fi in range(t.num_fields)])
-        return types, encs, streams
-    tkind, recs = _column_streams(a)
-    enc_kind, dict_size = None, None
-    if isinstance(tkind, tuple) and len(tkind) == 4:
-        tkind, extra, enc_kind, dict_size = tkind
-    elif isinstance(tkind, tuple):
-        tkind, extra = tkind
-    else:
-        extra = b""
-    if enc_kind is None:
-        enc_kind = _ENC_DIRECT_V2 if tkind in _V2_KINDS else _ENC_DIRECT
-    enc_msg = pb_msg(pb_field(1, enc_kind)) if dict_size is None else \
-        pb_msg(pb_field(1, enc_kind), pb_field(2, dict_size))
-    return ([pb_msg(pb_field(1, tkind) + extra)],
-            [enc_msg],
-            [(_KIND[n], my_id, raw) for n, raw in recs])
+        uniq = pc.unique(d)
+        if len(d) and len(uniq) / len(d) <= 0.8:
+            # the reference's dictionary-vs-direct decision (StringWriter
+            # .cs:89-92, 155-249): sorted dictionary, unsigned id stream
+            dct = uniq.sort()
+            ids = pc.index_in(d, value_set=dct).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            entries = dct.cast(pa.large_string())
+            offs = np.frombuffer(entries.buffers()[1], dtype=np.int64,
+                                 count=len(entries) + 1)
+            blob_buf = entries.buffers()[2]
+            blob = blob_buf.to_pybytes()[offs[0]:offs[-1]] \
+                if blob_buf is not None else b""
+            dlens = np.diff(offs)
+            raw, poss = _seg_rle(ids, False, dense_bounds)
+            streams.append(("DATA", raw, poss))
+            streams.append(("DICTIONARY_DATA", blob, None))
+            streams.append(("LENGTH",
+                            rlev2.encode(dlens, signed=False), None))
+            enc_msg = pb_msg(pb_field(1, _ENC_DICTIONARY_V2),
+                             pb_field(2, len(entries)))
+        else:
+            sa = d.cast(pa.large_string())
+            offs = np.frombuffer(sa.buffers()[1], dtype=np.int64,
+                                 count=len(sa) + 1, offset=8 * sa.offset)
+            lengths = np.diff(offs)
+            buf = sa.buffers()[2]
+            data = buf.to_pybytes()[offs[0]:offs[-1]] \
+                if buf is not None else b""
+            streams.append(("DATA", data,
+                            [[int(offs[int(b)] - offs[0])]
+                             for b in dense_bounds]))
+            raw, poss = _seg_rle(lengths, False, dense_bounds)
+            streams.append(("LENGTH", raw, poss))
+    else:  # pragma: no cover
+        raise NotImplementedError(f"ORC writer: node kind {node.kind}")
+    encs[node.id] = enc_msg
+    recs.extend((_KIND[n], node.id, r, p) for n, r, p in streams)
 
 
-def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
-    """Write one single-stripe ORC file (readable by Apache ORC readers)."""
+def _collect_node_arrays(node: _Node, arr, out: dict) -> None:
+    """Full-table row-space array per node id (for file-level stats)."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    out[node.id] = a
+    if node.kind == _TYPE_LIST:
+        _collect_node_arrays(node.children[0], a.drop_null().flatten(), out)
+    elif node.kind == _TYPE_STRUCT:
+        d = a.drop_null() if a.null_count else a
+        for fi, child in enumerate(node.children):
+            _collect_node_arrays(child, d.field(fi), out)
+
+
+# --- framing with chunk table (for compressed position conversion) ----------
+
+
+def _frame_chunks(raw: bytes, compression: str,
+                  block: int = 256 * 1024) -> tuple[bytes, list | None]:
+    """ORC compressed-stream framing: 3-byte LE header per chunk,
+    (len << 1) | is_original; compressed body, stored when bigger.
+    Returns (framed bytes, [(decompressed offset, compressed offset)] per
+    chunk — None when compression is 'none')."""
+    if compression == "none":
+        return raw, None
+    out = bytearray()
+    table: list[tuple[int, int]] = []
+    for i in range(0, max(len(raw), 1), block):
+        chunk = raw[i:i + block]
+        table.append((i, len(out)))
+        if compression == "zlib":
+            comp = zlib.compress(chunk, 6)[2:-4]  # raw deflate body
+        else:  # zstd frame (ORC compression kind 5)
+            comp = bytes(pa.Codec("zstd").compress(chunk))
+        if len(comp) < len(chunk):
+            out += int.to_bytes(len(comp) << 1, 3, "little") + comp
+        else:
+            out += int.to_bytes((len(chunk) << 1) | 1, 3, "little") + chunk
+    return bytes(out), table
+
+
+def _frame(raw: bytes, compression: str, block: int = 256 * 1024) -> bytes:
+    return _frame_chunks(raw, compression, block)[0]
+
+
+def _conv_positions(poss: list | None, table: list | None) -> list | None:
+    """Raw-domain positions → file positions: with compression the stream
+    offset becomes (compressed chunk offset, offset in decompressed
+    chunk); RLE-state values pass through."""
+    if poss is None or table is None:
+        return poss
+    decomps = [t[0] for t in table]
+    out = []
+    for p in poss:
+        k = bisect_right(decomps, p[0]) - 1
+        out.append([table[k][1], p[0] - table[k][0]] + p[1:])
+    return out
+
+
+# --- file assembly -----------------------------------------------------------
+
+
+def write_orc(table: pa.Table, path: str, compression: str = "zlib",
+              stripe_rows: int | None = None,
+              row_index_stride: int = _DEFAULT_STRIDE) -> None:
+    """Write a multi-stripe ORC file (readable by Apache ORC readers).
+
+    ``stripe_rows`` rows per stripe (default: sized so a stripe holds
+    ~64 MB of Arrow data, the reference's stripe budget); a ROW_INDEX
+    stream per column with exact seek positions and per-row-group stats
+    every ``row_index_stride`` rows (0 disables); per-stripe column stats
+    in the Metadata section."""
     comp_enum = {"none": 0, "zlib": 1, "zstd": 5}[compression]
     n_rows = table.num_rows
 
     next_id = [1]  # 0 = root struct
-    top_ids: list[int] = []
-    types: list[bytes] = []
-    encodings = [pb_msg(pb_field(1, _ENC_DIRECT))]  # root struct
-    stream_recs: list[tuple[int, int, bytes]] = []  # (kind, column, framed)
-    kinds_by_id: dict[int, int] = {0: _TYPE_STRUCT}
-    for ci in range(table.num_columns):
-        cid = next_id[0]
-        top_ids.append(cid)
-        tps, encs, streams = _encode_node(table.column(ci), next_id)
-        for off in range(next_id[0] - cid):
-            kinds_by_id[cid + off] = 0  # placeholder; stats only need ids
-        types.extend(tps)
-        encodings.extend(encs)
-        stream_recs.extend((k, c, _frame(raw, compression))
-                           for k, c, raw in streams)
-
-    data = b"".join(framed for _, _, framed in stream_recs)
-    stripe_footer = pb_msg(
-        *[pb_field(1, pb_msg(pb_field(1, k), pb_field(2, c),
-                             pb_field(3, len(framed))))
-          for k, c, framed in stream_recs],
-        *[pb_field(2, e) for e in encodings],
-        pb_field(3, "UTC"),  # writerTimezone (timestamps are UTC-normalized)
-    )
-    stripe_footer_framed = _frame(stripe_footer, compression)
-
-    # types: root struct lists its children's PRE-ORDER ids + field names
+    roots = [_build_node(table.column(i).type, next_id)
+             for i in range(table.num_columns)]
+    n_ids = next_id[0]
     types = [pb_msg(pb_field(1, _TYPE_STRUCT),
-                    *[pb_field(2, i) for i in top_ids],
-                    *[pb_field(3, name) for name in table.column_names])] \
-        + types
+                    *[pb_field(2, r.id) for r in roots],
+                    *[pb_field(3, name) for name in table.column_names])]
+    for r in roots:
+        types.extend(_type_msgs(r))
 
-    stripe_offset = 3  # after magic
-    stripe_info = pb_msg(
-        pb_field(1, stripe_offset), pb_field(2, 0),  # no index streams
-        pb_field(3, len(data)), pb_field(4, len(stripe_footer_framed)),
-        pb_field(5, n_rows))
-    stats = _column_statistics(table, kinds_by_id, top_ids)
+    if stripe_rows is None:
+        bpr = max(1, table.nbytes // max(n_rows, 1))
+        stripe_rows = max(1, min(n_rows or 1,
+                                 _DEFAULT_STRIPE_BYTES // bpr))
+    slices = [table.slice(o, min(stripe_rows, n_rows - o))
+              for o in range(0, n_rows, stripe_rows)] or [table]
+
+    body = bytearray(b"ORC")
+    stripe_info_msgs: list[bytes] = []
+    stripe_stats_msgs: list[list[bytes]] = []
+    for sl in slices:
+        k_rows = sl.num_rows
+        stride = row_index_stride if row_index_stride else max(k_rows, 1)
+        bounds = np.arange(0, max(k_rows, 1), stride, dtype=np.int64)
+        recs: list = []
+        encs: dict[int, bytes] = {0: pb_msg(pb_field(1, _ENC_DIRECT))}
+        stats_rows: list = []
+        for ci, rnode in enumerate(roots):
+            _encode_node_stripe(rnode, sl.column(ci), bounds,
+                                recs, encs, stats_rows)
+        framed = []
+        for kind, cid, raw, poss in recs:
+            fb, chtable = _frame_chunks(raw, compression)
+            framed.append((kind, cid, fb, _conv_positions(poss, chtable)))
+        stats_by_id = {nid: (a, rb) for nid, a, rb in stats_rows}
+        # ROW_INDEX streams (index region, one per column id)
+        index_recs: list[tuple[int, int, bytes]] = []
+        if row_index_stride:
+            K = len(bounds)
+            by_id: dict[int, list] = {}
+            for kind, cid, _, poss in framed:
+                if poss is not None:
+                    by_id.setdefault(cid, []).append(poss)
+            for nid in range(n_ids):
+                entries = []
+                for k in range(K):
+                    pos_vals = [v for poss in by_id.get(nid, [])
+                                for v in poss[k]]
+                    if nid == 0:
+                        lo = int(bounds[k])
+                        hi = int(bounds[k + 1]) if k + 1 < K else k_rows
+                        stm = _stats_msg(None, hi - lo)
+                    else:
+                        a, rb = stats_by_id[nid]
+                        lo = int(rb[k])
+                        hi = int(rb[k + 1]) if k + 1 < K else len(a)
+                        stm = _stats_msg(a.slice(lo, hi - lo))
+                    fields = []
+                    if pos_vals:
+                        fields.append(pb_field(
+                            1, b"".join(_vint(int(v)) for v in pos_vals)))
+                    fields.append(pb_field(2, stm))
+                    entries.append(pb_msg(*fields))
+                ri = pb_msg(*[pb_field(1, e) for e in entries])
+                index_recs.append((_KIND["ROW_INDEX"], nid,
+                                   _frame(ri, compression)))
+        index_bytes = b"".join(fb for _, _, fb in index_recs)
+        data_bytes = b"".join(fb for _, _, fb, _ in framed)
+        stripe_footer = pb_msg(
+            *[pb_field(1, pb_msg(pb_field(1, k), pb_field(2, c),
+                                 pb_field(3, len(fb))))
+              for k, c, fb in index_recs],
+            *[pb_field(1, pb_msg(pb_field(1, k), pb_field(2, c),
+                                 pb_field(3, len(fb))))
+              for k, c, fb, _ in framed],
+            *[pb_field(2, encs[i]) for i in range(n_ids)],
+            pb_field(3, "UTC"),  # writerTimezone (UTC-normalized)
+        )
+        sff = _frame(stripe_footer, compression)
+        stripe_info_msgs.append(pb_msg(
+            pb_field(1, len(body)), pb_field(2, len(index_bytes)),
+            pb_field(3, len(data_bytes)), pb_field(4, len(sff)),
+            pb_field(5, k_rows)))
+        body += index_bytes + data_bytes + sff
+        stripe_stats_msgs.append(
+            [_stats_msg(None, k_rows) if nid == 0
+             else _stats_msg(stats_by_id[nid][0]) for nid in range(n_ids)])
+
+    # Metadata: per-stripe column statistics
+    metadata = pb_msg(*[pb_field(1, pb_msg(*[pb_field(1, cs) for cs in ss]))
+                        for ss in stripe_stats_msgs])
+    metadata_framed = _frame(metadata, compression)
+    # file-level statistics from the full table (true per-node counts)
+    file_arrays: dict[int, pa.Array] = {}
+    for ci, rnode in enumerate(roots):
+        _collect_node_arrays(rnode, table.column(ci), file_arrays)
+    file_stats = [_stats_msg(None, n_rows) if nid == 0
+                  else _stats_msg(file_arrays[nid]) for nid in range(n_ids)]
     footer = pb_msg(
         pb_field(1, 3),                                   # headerLength
-        pb_field(2, 3 + len(data) + len(stripe_footer_framed)),  # contentLength
-        pb_field(3, stripe_info),
+        pb_field(2, len(body)),                           # contentLength
+        *[pb_field(3, si) for si in stripe_info_msgs],
         *[pb_field(4, t) for t in types],
         pb_field(6, n_rows),
-        *[pb_field(7, st) for st in stats],               # file column stats
-        pb_field(8, 0),                                   # rowIndexStride
+        *[pb_field(7, st) for st in file_stats],          # file column stats
+        pb_field(8, row_index_stride),
     )
     footer_framed = _frame(footer, compression)
-    metadata_framed = _frame(pb_msg(), compression)
     postscript = pb_msg(
         pb_field(1, len(footer_framed)),
         pb_field(2, comp_enum),
@@ -346,9 +578,7 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
     )
     assert len(postscript) < 256
     with open(path, "wb") as f:
-        f.write(b"ORC")
-        f.write(data)
-        f.write(stripe_footer_framed)
+        f.write(bytes(body))
         f.write(metadata_framed)
         f.write(footer_framed)
         f.write(postscript)
@@ -356,7 +586,9 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib") -> None:
 
 
 def write_orc_dataset(ds, out_dir: str, compression: str = "zlib",
-                      prefix: str = "part") -> int:
+                      prefix: str = "part",
+                      stripe_rows: int | None = None,
+                      row_index_stride: int = _DEFAULT_STRIDE) -> int:
     """Ray Data sink: one ``.orc`` file per input block (resumable
     partitioned output — a failed run just rewrites missing parts).
     Returns the number of files written."""
@@ -371,7 +603,9 @@ def write_orc_dataset(ds, out_dir: str, compression: str = "zlib",
 
         name = f"{prefix}-{uuid.uuid4().hex[:12]}.orc"
         tmp = os.path.join(out_dir, "." + name)
-        write_orc(batch, tmp, compression=compression)
+        write_orc(batch, tmp, compression=compression,
+                  stripe_rows=stripe_rows,
+                  row_index_stride=row_index_stride)
         os.rename(tmp, os.path.join(out_dir, name))  # atomic publish
         return pa.table({"path": pa.array([os.path.join(out_dir, name)]),
                          "rows": pa.array([batch.num_rows], type=pa.int64())})

@@ -396,3 +396,155 @@ def test_orc_footer_stats_and_pruning(ray_session, tmp_path):
     assert len(got) == 5_000 and got["k"].max() == 4_999
     point = read_orc_files(out, predicate=("k", "==", 39_999)).to_pandas()
     assert len(point) == 1
+
+
+def test_multistripe_nested_roundtrip(tmp_path):
+    """≥3 stripes with tokens list<int32>, a struct column and nullable
+    scalars: value-exact through BOTH pyarrow's C++ reader and our own
+    (the per-stripe nested decode path)."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_reader import OrcFile
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    po = pytest.importorskip("pyarrow.orc")
+    n = 70_000
+    ids = np.arange(n, dtype=np.int64)
+    toks = pa.array([list(range(int(i) % 6)) for i in ids],
+                    type=pa.list_(pa.int32()))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(ids % 100), pa.array([f"g{int(i) % 9}" for i in ids])],
+        ["a", "b"])
+    nullable = pa.array([None if i % 11 == 0 else int(i) for i in range(n)],
+                        type=pa.int64())
+    t = pa.table({"id": ids, "toks": toks, "s": struct, "nl": nullable})
+    p = str(tmp_path / "ms.orc")
+    write_orc(t, p, stripe_rows=20_000)
+    pf = po.ORCFile(p)
+    assert pf.nstripes == 4
+    theirs = pf.read()
+    f = OrcFile(p)
+    assert len(f.stripes) == 4
+    assert all(s.index_length > 0 for s in f.stripes)  # ROW_INDEX present
+    mine = f.read_table()
+    for c in t.column_names:
+        a = pa.chunked_array([mine.column(c)]) \
+            .cast(theirs.schema.field(c).type)
+        assert a.equals(theirs.column(c)), c
+        b = pa.chunked_array([t.column(c)]) \
+            .cast(theirs.schema.field(c).type)
+        assert b.equals(theirs.column(c)), c
+    f.close()
+
+
+def test_pre1970_fractional_timestamps_both_directions(tmp_path):
+    """ADVICE round-4 item: pre-1970 timestamps with sub-second micros.
+    Writer uses the C++ ORC dialect (trunc-toward-zero seconds, signed
+    nanos); reader handles that AND the Java positive-nanos dialect."""
+    import datetime
+
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_reader import OrcFile
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    po = pytest.importorskip("pyarrow.orc")
+    ts = [datetime.datetime(1969, 12, 31, 23, 59, 58, 500000),
+          datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),
+          datetime.datetime(1969, 12, 31, 23, 59, 59),
+          datetime.datetime(1970, 1, 1, 0, 0, 0, 500000),
+          datetime.datetime(1965, 6, 1, 12, 0, 0, 123456),
+          datetime.datetime(2020, 1, 1, 0, 0, 0, 250000)]
+    t = pa.table({"t": pa.array(ts, type=pa.timestamp("us"))})
+    p1 = str(tmp_path / "ours.orc")
+    write_orc(t, p1)
+    assert [v.to_pydatetime()
+            for v in po.ORCFile(p1).read().column("t").to_pylist()] == ts
+    assert OrcFile(p1).read_table().column("t").to_pylist() == ts
+    p2 = str(tmp_path / "theirs.orc")
+    po.write_table(t, p2)
+    assert OrcFile(p2).read_table().column("t").to_pylist() == ts
+
+
+def test_row_index_positions_seek_exact(tmp_path):
+    """ROW_INDEX positions written per row group are exact: decode row
+    group k of a zlib-compressed int column from (chunk offset, offset in
+    chunk, run offset) alone, and the per-group stats match numpy."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.codecs import rlev2
+    from apacheorcdotnet_ray.sources.orc_reader import (OrcFile, _decompress,
+                                                        pb_parse,
+                                                        pb_repeated_uint)
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    n = 45_000
+    vals = (np.arange(n, dtype=np.int64) * 13) % 100000
+    p = str(tmp_path / "seek.orc")
+    write_orc(pa.table({"x": vals}), p, stripe_rows=n)
+    f = OrcFile(p)
+    st = f.stripes[0]
+    streams = [pb_parse(raw) for raw in f._stripe_footer(st).get(1, [])]
+    pos = st.offset
+    ri_raw = data_off = data_len = None
+    for s in streams:
+        kind, col, ln = s.get(1, [0])[0], s.get(2, [0])[0], s.get(3, [0])[0]
+        if kind == 6 and col == 1:
+            ri_raw = _decompress(f._buf[pos:pos + ln], f.compression)
+        if kind == 1 and col == 1:
+            data_off, data_len = pos, ln
+        pos += ln
+    entries = [pb_parse(e) for e in pb_parse(ri_raw).get(1, [])]
+    assert len(entries) == 5  # 45k rows / 10k stride
+    comp_off, in_chunk, run_off = pb_repeated_uint(entries[3].get(1, []))
+    assert run_off == 0  # encoder restarts at every stride
+    dec = _decompress(f._buf[data_off + comp_off:data_off + data_len],
+                      f.compression)[in_chunk:]
+    got = rlev2.decode(dec, signed=True)[:10_000]
+    assert (got == vals[30_000:40_000]).all()
+    stm = pb_parse(entries[3][2][0])
+    ist = pb_parse(stm[2][0])
+    unzz = lambda v: (v >> 1) ^ -(v & 1)  # noqa: E731
+    assert stm[1][0] == 10_000
+    assert unzz(ist[1][0]) == int(vals[30_000:40_000].min())
+    assert unzz(ist[2][0]) == int(vals[30_000:40_000].max())
+    f.close()
+
+
+def test_nested_stats_true_counts(tmp_path):
+    """Footer stats carry TRUE per-node numberOfValues (list children =
+    sum of list lengths; masked values excluded) and the hasNull flag."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_reader import (OrcFile, _decompress,
+                                                        pb_parse)
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    n = 1_000
+    toks = pa.array([None if i % 10 == 0 else list(range(i % 4))
+                     for i in range(n)], type=pa.list_(pa.int32()))
+    t = pa.table({"toks": toks})
+    p = str(tmp_path / "st.orc")
+    write_orc(t, p)
+    # parse footer stats directly
+    buf = open(p, "rb").read()
+    ps_len = buf[-1]
+    ps = pb_parse(buf[-1 - ps_len:-1])
+    footer = pb_parse(_decompress(
+        buf[-1 - ps_len - ps[1][0]:-1 - ps_len], ps.get(2, [0])[0]))
+    stats = [pb_parse(raw) for raw in footer.get(7, [])]
+    n_lists = sum(1 for i in range(n) if i % 10 != 0)
+    n_child = sum(i % 4 for i in range(n) if i % 10 != 0)
+    assert stats[0][1][0] == n          # root: row count
+    assert stats[1][1][0] == n_lists    # list node: non-null lists
+    assert stats[1][10][0] == 1         # hasNull set
+    assert stats[2][1][0] == n_child    # child: sum of list lengths
+    assert stats[2][10][0] == 0
+    # Metadata section exists with per-stripe stats
+    meta_len = ps.get(5, [0])[0]
+    assert meta_len > 0
+    foot_len = ps[1][0]
+    meta = pb_parse(_decompress(
+        buf[-1 - ps_len - foot_len - meta_len:-1 - ps_len - foot_len],
+        ps.get(2, [0])[0]))
+    assert len(meta.get(1, [])) == 1    # one StripeStatistics per stripe
