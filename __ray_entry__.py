@@ -1071,31 +1071,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
-# Round-4 driver window (first 50): 23 must-verify entries — group_cube
-# (oracle CAST fixed), curate_end_to_end (ordered past the window every
-# prior round), the 15 newly-oracled queries, knn_join_ivf (new), and the
-# 4 whose pipelines changed this round — then the 27 entries whose only
-# driver rows are from round 1 (stalest evidence first).
+# Round-5 driver window (first 50), rotated per the round-4 verdict item 7:
+# the 36 queries whose newest green driver row is r01/r02 (stalest evidence
+# first — includes distinct_count_hll, the one rows-only sketch query), the
+# 3 orc_file_roundtrip* entries (the ORC writer was reworked this round:
+# multi-stripe + ROW_INDEX + Metadata), hll_error_bound (the 3σ invariant
+# companion the verdict asked to re-prove alongside distinct_count_hll),
+# and the 10 stalest r03 rows to fill the window.
 _DRIVER_WINDOW_FIRST = [
-    # fixed / never-run / new / changed
-    "group_cube", "curate_end_to_end",
-    "pack_sequences", "vocab_counts", "audio_features", "kmeans_clusters",
-    "bpe_merges", "bpe_token_count", "doc_fingerprints", "dedup_simhash",
-    "dedup_minhash", "dedup_embedding_lsh", "ann_ivf", "ann_ivf_indexed",
-    "media_features", "media_frame_sample", "knn_join_ivf",
-    "hash_join", "range_join_follow", "weighted_sample", "delete_scan",
-    "dedup_minhash_exact", "bloom_semi_join",
-    # stalest driver rows (round 1 only)
-    "token_count_regex", "token_count_by_source", "quality_scores",
-    "quality_filter", "lang_id", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_embedding", "dedup_end_to_end", "ann_topk",
-    "roundtrip_region", "roundtrip_nation", "roundtrip_supplier",
-    "roundtrip_structs", "roundtrip_decimal38", "json_struct_roundtrip",
-    "predicate_scan_stride", "predicate_scan_conj", "predicate_scan_sorted",
-    "predicate_scan_bloom", "predicate_scan_zorder", "grouped_source_scan",
-    # new this round (no driver row yet)
-    "full_outer_join", "group_dense_rank", "orc_file_roundtrip",
-    "orc_file_roundtrip_events", "orc_file_roundtrip_tokens",
+    # stalest: newest green row is r01/r02
+    "footer_stats_lineitem", "rollup_by_source", "sliding_window_agg",
+    "group_quantile", "pivot_event_counts", "set_intersect", "set_except",
+    "set_union", "distinct_sources", "semi_join", "anti_join",
+    "roundtrip_lineitem", "roundtrip_orders", "roundtrip_customer",
+    "roundtrip_part", "roundtrip_events", "roundtrip_documents",
+    "roundtrip_embeddings", "roundtrip_orders_zstd", "predicate_scan",
+    "tokenize_roundtrip", "grouped_encode_roundtrip", "stats_lineitem",
+    "stats_by_source", "windowed_agg_events", "distinct_count",
+    "distinct_count_hll", "hll_error_bound", "top_k_event_types",
+    "pricing_summary", "top_k_by_user", "sessionize", "quantile_median",
+    "json_extract", "broadcast_join", "asof_join", "token_count",
+    # pipelines touched this round (ORC writer rework)
+    "orc_file_roundtrip", "orc_file_roundtrip_events",
+    "orc_file_roundtrip_tokens",
+    # stalest r03 rows, filling the 50-slot window
+    "ngram_counts", "bm25_search", "tfidf_top_terms", "train_val_split",
+    "corpus_mix", "stratified_sample", "predicate_scan_temporal",
+    "decontaminate", "redact_terms", "gopher_filter",
 ]
 
 

@@ -898,14 +898,23 @@ def dedup_embedding_lsh(
 # embedding cosine near-dup
 
 
-def dedup_embedding_cosine(emb_ds: rd.Dataset, threshold: float = 0.95) -> rd.Dataset:
+def dedup_embedding_cosine(emb_ds: rd.Dataset, threshold: float = 0.95,
+                           max_rows: int = 2_000_000) -> rd.Dataset:
     """Near-duplicate (vec_a < vec_b) pairs with cosine ≥ threshold.
 
-    Block-local matmul against a broadcast matrix of all vectors — valid while
-    the embedding matrix fits in memory (N×D float32); the LSH-bucketed
-    variant in similarity.py is the scale path."""
+    Block-local matmul against a broadcast matrix of all vectors — valid
+    while the embedding matrix fits in memory (N×D float64). The guard
+    counts the corpus FIRST and refuses above ``max_rows`` (2M vectors ×
+    768 dims ≈ 12 GB broadcast) instead of OOM-ing the driver;
+    ``dedup_embedding_lsh`` is the no-broadcast scale path."""
     import ray
 
+    n = emb_ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dedup_embedding_cosine materializes the whole corpus "
+            f"({n} rows > max_rows={max_rows}); use dedup_embedding_lsh "
+            f"(random-hyperplane LSH, no broadcast) at this scale")
     rows = emb_ds.select_columns(["vec_id", "embedding"]).take_all()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])

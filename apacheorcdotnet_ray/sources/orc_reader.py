@@ -418,16 +418,25 @@ class OrcFile:
                 pa.array(offs, type=pa.int64()),
                 child.combine_chunks()
                 if isinstance(child, pa.ChunkedArray) else child)
+        elif kind == 11:  # MAP: LENGTH + key/value children
+            lengths = rlev2.decode(streams[_KIND_LENGTH], signed=False)
+            subs = self.subtypes(column)
+            keys = self._read_column_stripe(st, int(subs[0]))
+            items = self._read_column_stripe(st, int(subs[1]))
+            offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+            arr = pa.MapArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                keys.combine_chunks()
+                if isinstance(keys, pa.ChunkedArray) else keys,
+                items.combine_chunks()
+                if isinstance(items, pa.ChunkedArray) else items)
         else:  # pragma: no cover
             raise NotImplementedError(f"ORC type kind {kind}")
         if present is not None:
-            # expand dense values to row slots, null where absent
-            import pyarrow.compute as pc
-
+            # expand dense values to row slots: take with NULL indices at
+            # absent rows (works for every type, map included)
             idx = np.maximum(np.cumsum(present) - 1, 0)
-            dense = arr.take(pa.array(idx))
-            arr = pc.if_else(pa.array(present), dense,
-                             pa.nulls(st.number_of_rows, arr.type))
+            arr = arr.take(pa.array(idx, mask=~present))
         return arr
 
     def read_decimal_column(self, column: int) -> list:

@@ -91,6 +91,7 @@ _KIND = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "DICTIONARY_DATA": 3,
          "SECONDARY": 5, "ROW_INDEX": 6}
 _TYPE_LONG, _TYPE_STRING, _TYPE_DOUBLE, _TYPE_BOOLEAN, _TYPE_STRUCT = 4, 7, 6, 0, 12
 _TYPE_TIMESTAMP, _TYPE_DECIMAL, _TYPE_DATE, _TYPE_LIST = 9, 14, 15, 10
+_TYPE_MAP = 11
 _TYPE_SHORT, _TYPE_INT = 2, 3
 _ENC_DIRECT, _ENC_DIRECT_V2, _ENC_DICTIONARY_V2 = 0, 2, 3
 
@@ -112,6 +113,10 @@ class _Node:
 def _build_node(t: pa.DataType, next_id: list[int]) -> _Node:
     nid = next_id[0]
     next_id[0] += 1
+    if pa.types.is_map(t):
+        key = _build_node(t.key_type, next_id)
+        val = _build_node(t.item_type, next_id)
+        return _Node(nid, t, _TYPE_MAP, [key, val])
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return _Node(nid, t, _TYPE_LIST, [_build_node(t.value_type, next_id)])
     if pa.types.is_struct(t):
@@ -143,6 +148,11 @@ def _type_msgs(node: _Node) -> list[bytes]:
         return [pb_msg(pb_field(1, _TYPE_LIST),
                        pb_field(2, node.children[0].id))] \
             + _type_msgs(node.children[0])
+    if node.kind == _TYPE_MAP:
+        return [pb_msg(pb_field(1, _TYPE_MAP),
+                       pb_field(2, node.children[0].id),
+                       pb_field(2, node.children[1].id))] \
+            + _type_msgs(node.children[0]) + _type_msgs(node.children[1])
     if node.kind == _TYPE_STRUCT:
         head = pb_msg(pb_field(1, _TYPE_STRUCT),
                       *[pb_field(2, c.id) for c in node.children],
@@ -286,6 +296,26 @@ def _encode_node_stripe(node: _Node, arr, row_bounds: np.ndarray,
         _encode_node_stripe(node.children[0], d.flatten(), child_bounds,
                             recs, encs, stats_rows)
         return
+    if node.kind == _TYPE_MAP:
+        # NOTE: MapArray.keys/.items ignore slices — slice them by the
+        # absolute offsets window instead (offsets ARE slice-aware)
+        off = np.asarray(d.offsets, dtype=np.int64) if len(d) \
+            else np.zeros(1, dtype=np.int64)
+        lengths = np.diff(off)
+        raw, poss = _seg_rle(lengths, False, dense_bounds)
+        streams.append(("LENGTH", raw, poss))
+        encs[node.id] = pb_msg(pb_field(1, _ENC_DIRECT_V2))
+        recs.extend((_KIND[n], node.id, r, p) for n, r, p in streams)
+        cl = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=cl[1:])
+        child_bounds = cl[dense_bounds]
+        keys = d.keys.slice(int(off[0]), int(off[-1] - off[0]))
+        items = d.items.slice(int(off[0]), int(off[-1] - off[0]))
+        _encode_node_stripe(node.children[0], keys, child_bounds,
+                            recs, encs, stats_rows)
+        _encode_node_stripe(node.children[1], items, child_bounds,
+                            recs, encs, stats_rows)
+        return
     if node.kind == _TYPE_STRUCT:
         encs[node.id] = pb_msg(pb_field(1, _ENC_DIRECT))
         recs.extend((_KIND[n], node.id, r, p) for n, r, p in streams)
@@ -390,7 +420,15 @@ def _collect_node_arrays(node: _Node, arr, out: dict) -> None:
     """Full-table row-space array per node id (for file-level stats)."""
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     out[node.id] = a
-    if node.kind == _TYPE_LIST:
+    if node.kind == _TYPE_MAP:
+        d = a.drop_null() if a.null_count else a
+        off = np.asarray(d.offsets, dtype=np.int64) if len(d) \
+            else np.zeros(1, dtype=np.int64)
+        keys = d.keys.slice(int(off[0]), int(off[-1] - off[0]))
+        items = d.items.slice(int(off[0]), int(off[-1] - off[0]))
+        _collect_node_arrays(node.children[0], keys, out)
+        _collect_node_arrays(node.children[1], items, out)
+    elif node.kind == _TYPE_LIST:
         _collect_node_arrays(node.children[0], a.drop_null().flatten(), out)
     elif node.kind == _TYPE_STRUCT:
         d = a.drop_null() if a.null_count else a

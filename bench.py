@@ -86,7 +86,8 @@ def run_bench() -> dict:
     # (CLAUDE.md); the min of two back-to-back runs is the stable signal
     out = "/tmp/oray_bench_stripes"
     t_encode = float("inf")
-    for _ in range(2):
+    reps = int(os.environ.get("GRAFT_ENCODE_REPS", "2"))
+    for _ in range(reps):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         summary = encode_corpus(corpus, out)
@@ -203,41 +204,54 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
+    """N vs 4N parallelism in fresh processes (sandbox stand-in for N vs 4N
+    nodes). Round-5 protocol per the round-4 verdict: MANY tightly-adjacent
+    lo→hi PAIRS (each pair back-to-back in time so host-load drift between
+    the two legs is minimal), one timed encode per leg; report the MEDIAN
+    of per-pair efficiencies (the headline — robust to a burst hitting one
+    pair) plus min/max and every pair. The old best-of-interleaved protocol
+    compared legs minutes apart and produced physically-implausible >1
+    efficiencies when single-core throughput drifted between them.
+
+    Default 1 vs 4: this box exposes 32 vCPUs but per-process throughput of
+    memory-heavy kernels degrades measurably beyond ~4-8 concurrent
+    processes (shared bandwidth / SMT / virtualization), so higher levels
+    measure the hardware ceiling, not the engine's scaling; BASELINE.md
+    records measurements at both 1v4 and 2v8."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CORPUS="1",
-                   GRAFT_ENCODE_ONLY="1")
+                   GRAFT_ENCODE_ONLY="1", GRAFT_ENCODE_REPS="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best_of(ncpu: int, runs: list[dict]) -> dict:
-        mine = [r for r in runs if r["num_cpus"] == ncpu]
-        return min(mine, key=lambda r: r["value"])
-
-    # N vs 4N parallelism in fresh processes (sandbox stand-in for N vs 4N
-    # nodes). Default 1 vs 4: this box exposes 32 vCPUs but per-process
-    # throughput of memory-heavy kernels degrades measurably beyond ~4-8
-    # concurrent processes (shared bandwidth / SMT / virtualization), so
-    # higher levels measure the hardware ceiling, not the engine's scaling;
-    # BASELINE.md records measurements at both 1v4 and 2v8.
     lo, hi = int(os.environ.get("GRAFT_SCALE_LO", 1)), int(os.environ.get("GRAFT_SCALE_HI", 4))
-    # two INTERLEAVED rounds per leg, best-of: co-tenant load drifts on the
-    # scale of minutes, so lo/hi/lo/hi ordering + min cancels slow swings
-    runs = [run(lo), run(hi), run(lo), run(hi)]
-    r_lo, r_hi = best_of(lo, runs), best_of(hi, runs)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", 5))
+    pairs = []
+    effs = []
+    r_hi = None
+    for _ in range(n_pairs):
+        r_lo = run(lo)
+        r_hi = run(hi)  # immediately after its lo partner
+        e = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        effs.append(e)
+        pairs.append({f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+                      "eff": round(e, 3),
+                      "loadavg": round(os.getloadavg()[0], 1)})
+    s = sorted(effs)
+    median = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(median, 3),          # median of per-pair efficiencies
         "unit": "ratio",
-        f"sec_{lo}": r_lo["value"],
-        f"sec_{hi}": r_hi["value"],
-        f"tokens_per_sec_{lo}": r_lo["tokens_per_sec"],
-        f"tokens_per_sec_{hi}": r_hi["tokens_per_sec"],
+        "min": round(min(effs), 3),
+        "max": round(max(effs), 3),
+        "pairs": pairs,
+        "cpus": [lo, hi],
+        "n_tokens": r_hi["n_tokens"],
         "bytes_per_token": r_hi["bytes_per_token"],
         "sf": r_hi["sf"],
-        "loadavg": [round(x, 1) for x in os.getloadavg()],
     }))
 
 

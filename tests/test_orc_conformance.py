@@ -548,3 +548,37 @@ def test_nested_stats_true_counts(tmp_path):
         buf[-1 - ps_len - foot_len - meta_len:-1 - ps_len - foot_len],
         ps.get(2, [0])[0]))
     assert len(meta.get(1, [])) == 1    # one StripeStatistics per stripe
+
+
+def test_map_kind_both_directions(tmp_path):
+    """ORC MAP (kind 11: LENGTH + key/value children) — EXCEEDS the
+    reference, which throws on maps (StripeWriter.cs:321). Multi-stripe,
+    nullable rows, exact via pyarrow AND our reader, both directions."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_reader import OrcFile
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    po = pytest.importorskip("pyarrow.orc")
+
+    def eq(a, b):
+        ca = pa.chunked_array([a]) if isinstance(a, pa.Array) else a
+        cb = pa.chunked_array([b]) if isinstance(b, pa.Array) else b
+        return ca.cast(cb.type).equals(cb)
+
+    n = 30_000
+    rows = [None if i % 13 == 0 else
+            [(f"k{j}", i * 10 + j) for j in range(i % 4)] for i in range(n)]
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "m": pa.array(rows, type=pa.map_(pa.string(), pa.int64()))})
+    p = str(tmp_path / "map.orc")
+    write_orc(t, p, stripe_rows=10_000)
+    pf = po.ORCFile(p)
+    assert pf.nstripes == 3
+    assert eq(pf.read().column("m"), t.column("m"))
+    f = OrcFile(p)
+    assert eq(f.read_table().column("m"), t.column("m"))
+    f.close()
+    p2 = str(tmp_path / "map_pa.orc")  # conforming-writer direction
+    po.write_table(t, p2)
+    assert eq(OrcFile(p2).read_table().column("m"), t.column("m"))

@@ -137,3 +137,26 @@ def test_knn_join_ivf_exact_and_approx(ray_session):
     assert len(approx) == 2 * n
     assert set(approx["rank"]) == {0, 1}
     assert set(approx["nn_id"]).issubset(set(range(n)))
+
+
+def test_embedding_cosine_guard_fires(ray_session):
+    """dedup_embedding_cosine counts the corpus FIRST and refuses to
+    broadcast above max_rows, pointing at the LSH scale path (round-4
+    verdict item 6); under the cap it still returns exact pairs."""
+    import pytest as _pytest
+
+    from apacheorcdotnet_ray.pipelines.dedup import dedup_embedding_cosine
+
+    ds, m = _emb_ds(n=60, d=8, seed=5)
+    with _pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        dedup_embedding_cosine(ds, threshold=0.9, max_rows=10)
+    # under the cap: exact vs brute force
+    got_rows = dedup_embedding_cosine(ds, threshold=0.8,
+                                      max_rows=100).take_all()
+    got = {"vec_a": [r["vec_a"] for r in got_rows],
+           "vec_b": [r["vec_b"] for r in got_rows]}
+    mm = m.astype(np.float64)
+    mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    ia, ib = np.nonzero(np.triu(sims >= 0.8, k=1))
+    assert set(zip(got["vec_a"], got["vec_b"])) == set(zip(ia.tolist(), ib.tolist()))
