@@ -235,6 +235,8 @@ class OrcFile:
         footer_len = ps[1][0]
         self.compression = ps.get(2, [0])[0]
         self.block_size = ps.get(3, [256 * 1024])[0]
+        self._metadata_span = (len(buf) - 1 - ps_len - footer_len
+                               - ps.get(5, [0])[0], ps.get(5, [0])[0])
         footer_raw = _decompress(
             buf[-1 - ps_len - footer_len:-1 - ps_len], self.compression)
         footer = pb_parse(footer_raw)
@@ -301,30 +303,73 @@ class OrcFile:
     def field_names(self) -> list[str]:
         return [v.decode("utf-8") for v in self.types[0].get(3, [])]
 
-    def read_table(self, columns: list[str] | None = None) -> "pa.Table":  # noqa: F821
+    def stripe_stats(self) -> list[dict[str, dict]]:
+        """Per-stripe column statistics from the Metadata section (one
+        {name: {n, min, max}} per stripe for top-level int/string columns);
+        empty list when the writer emitted no Metadata. Tail-only — no
+        stream bytes are touched."""
+        off, ln = self._metadata_span
+        if not ln:
+            return []
+        meta = pb_parse(_decompress(self._buf[off:off + ln],
+                                    self.compression))
+        names = self.field_names()
+        top_ids = self.subtypes(0) or list(range(1, len(names) + 1))
+        out = []
+        for raw in meta.get(1, []):  # StripeStatistics
+            cols = [pb_parse(c) for c in pb_parse(raw).get(1, [])]
+            rec: dict[str, dict] = {}
+            for name, cid in zip(names, top_ids):
+                if cid >= len(cols):
+                    continue
+                rec[name] = _stats_rec(cols[int(cid)])
+            out.append(rec)
+        return out
+
+    def read_table(self, columns: list[str] | None = None,
+                   predicate: tuple | None = None,
+                   stripe_indices: list[int] | None = None) -> "pa.Table":  # noqa: F821
         """Decode every supported column (LONG/INT/SHORT, STRING, DOUBLE,
-        FLOAT, BOOLEAN, TIMESTAMP, DATE, DECIMAL, STRUCT, LIST — nulls via
-        PRESENT) into one Arrow table, entirely through this repo's codecs.
-        ``columns`` prunes at the decode: unrequested columns' streams are
-        never decompressed. Multi-stripe files decode stripe-by-stripe
-        (nested types included) with one concat per column at the top."""
+        FLOAT, BOOLEAN, TIMESTAMP, DATE, DECIMAL, STRUCT, LIST, MAP — nulls
+        via PRESENT) into one Arrow table, entirely through this repo's
+        codecs. ``columns`` prunes at the decode: unrequested columns'
+        streams are never decompressed. ``predicate`` = (col, op, lit)
+        prunes whole STRIPES by the Metadata per-stripe statistics before
+        any stream is read (rows are NOT exact-filtered here — callers
+        like ``read_orc_files`` do that). Multi-stripe files decode
+        stripe-by-stripe (nested types included) with one concat per
+        column at the top. ``stripe_indices`` restricts the decode to a
+        subset of stripes (the per-stripe Ray task unit)."""
         import pyarrow as pa
 
+        stripes = self.stripes if stripe_indices is None \
+            else [self.stripes[i] for i in stripe_indices]
+        if predicate is not None:
+            per_stripe = self.stripe_stats()
+            if len(per_stripe) == len(self.stripes):
+                keep = {id(st) for st, ss in zip(self.stripes, per_stripe)
+                        if _stats_may_match(ss, predicate)}
+                stripes = [st for st in stripes if id(st) in keep]
         names = self.field_names()
         top_ids = self.subtypes(0) or list(range(1, len(names) + 1))
         cols = {}
         for ci, name in zip(top_ids, names):
             if columns is not None and name not in columns:
                 continue
-            cols[name] = self._read_any_column(int(ci))
+            cols[name] = self._read_any_column(int(ci), stripes)
         return pa.table(cols)
 
-    def _read_any_column(self, column: int):
+    def _read_any_column(self, column: int, stripes=None):
         import pyarrow as pa
 
-        parts = [self._read_column_stripe(st, column) for st in self.stripes]
+        parts = [self._read_column_stripe(st, column)
+                 for st in (self.stripes if stripes is None else stripes)]
         parts = [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
                  for p in parts]
+        if not parts:  # every stripe pruned: typed empty column
+            return pa.concat_arrays(
+                [self._read_column_stripe(self.stripes[0], column)]).slice(0, 0) \
+                if self.stripes else pa.array([])
         return pa.concat_arrays(parts)
 
     def _read_column_stripe(self, st: _Stripe, column: int):
@@ -522,6 +567,21 @@ def _unzz(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
+def _stats_rec(st: dict[int, list]) -> dict:
+    """{n, min, max} from one parsed ColumnStatistics message (int stats
+    are sint64 zigzag; string stats UTF-8)."""
+    rec: dict = {"n": st.get(1, [None])[0]}
+    if 2 in st:  # intStatistics
+        ist = pb_parse(st[2][0])
+        rec["min"] = _unzz(ist.get(1, [0])[0])
+        rec["max"] = _unzz(ist.get(2, [0])[0])
+    elif 4 in st:  # stringStatistics
+        sst = pb_parse(st[4][0])
+        rec["min"] = sst.get(1, [b""])[0].decode("utf-8")
+        rec["max"] = sst.get(2, [b""])[0].decode("utf-8")
+    return rec
+
+
 def read_file_stats(path: str) -> dict[str, dict]:
     """Footer column statistics via a TAIL-ONLY read (two seeks, no stream
     bytes touched): name → {n, min, max} for top-level int/string columns.
@@ -551,17 +611,7 @@ def read_file_stats(path: str) -> dict[str, dict]:
     for name, cid in zip(names, top_ids):
         if cid >= len(stats):
             continue
-        st = stats[int(cid)]
-        rec: dict = {"n": st.get(1, [None])[0]}
-        if 2 in st:  # intStatistics (sint64 zigzag)
-            ist = pb_parse(st[2][0])
-            rec["min"] = _unzz(ist.get(1, [0])[0])
-            rec["max"] = _unzz(ist.get(2, [0])[0])
-        elif 4 in st:  # stringStatistics
-            sst = pb_parse(st[4][0])
-            rec["min"] = sst.get(1, [b""])[0].decode("utf-8")
-            rec["max"] = sst.get(2, [b""])[0].decode("utf-8")
-        out[name] = rec
+        out[name] = _stats_rec(stats[int(cid)])
     return out
 
 
@@ -581,13 +631,20 @@ def _stats_may_match(stats: dict, predicate) -> bool:
 
 
 def read_orc_files(paths, columns: list[str] | None = None,
-                   predicate: tuple | None = None):
-    """Ray Data source over real ``.orc`` files: one decode task per file
-    (ORC stripes are this source's natural block unit), column-pruned at
-    the stream level — unrequested columns never decompress. ``paths``: a
+                   predicate: tuple | None = None,
+                   split_stripes: bool = False):
+    """Ray Data source over real ``.orc`` files, column-pruned at the
+    stream level — unrequested columns never decompress. ``paths``: a
     directory, a glob, or an explicit list. ``predicate`` = (col, op, lit):
     whole files whose footer stats exclude it are never opened beyond the
-    tail (two seeks), and surviving rows are filtered exactly."""
+    tail (two seeks), surviving files prune STRIPES by Metadata stripe
+    stats, and surviving rows are filtered exactly.
+
+    Task granularity: one decode task per FILE by default;
+    ``split_stripes=True`` makes it one task per STRIPE (a driver-side
+    tail read per file lists the stripes), so import parallelism is bound
+    by total stripes, not file count — the right unit when the input is a
+    few huge multi-stripe files."""
     import glob as _glob
     import os
 
@@ -614,22 +671,34 @@ def read_orc_files(paths, columns: list[str] | None = None,
                 "every .orc file pruned by the predicate — no schema "
                 "available for an empty result")
 
+    items = [{"path": p, "stripe": -1} for p in paths]
+    if split_stripes:
+        items = []
+        for p in paths:
+            f = OrcFile(p)  # tail-only: stripe directory, no streams
+            n_st = max(len(f.stripes), 1)
+            f.close()
+            items.extend({"path": p, "stripe": i} for i in range(n_st))
+
     def decode(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         tables = []
-        for p in batch.column("path").to_pylist():
+        for p, si in zip(batch.column("path").to_pylist(),
+                         batch.column("stripe").to_pylist()):
             f = OrcFile(p)
-            tables.append(f.read_table(columns=columns))
+            # surviving files also prune STRIPES by Metadata stripe stats
+            tables.append(f.read_table(
+                columns=columns, predicate=predicate,
+                stripe_indices=None if si < 0 else [si]))
             f.close()
         t = pa.concat_tables(tables)
-        if predicate is not None:  # exact row filter after the file prune
+        if predicate is not None:  # exact row filter after the prunes
             col, op, lit = predicate
             kernel = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
                       ">": pc.greater, ">=": pc.greater_equal}[op]
             t = t.filter(kernel(t.column(col), lit))
         return t
 
-    return rd.from_items([{"path": p} for p in paths],
-                         override_num_blocks=len(paths)) \
+    return rd.from_items(items, override_num_blocks=len(items)) \
         .map_batches(decode, batch_format="pyarrow", batch_size=1)

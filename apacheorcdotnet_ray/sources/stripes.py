@@ -333,5 +333,18 @@ def read_row_range(
                 delete_mask=read_delete_mask(path)))
         return pa.concat_tables(out)
 
-    return rd.read_binary_files(sel_paths, include_paths=True).map_batches(
-        dec, batch_format="pyarrow", batch_size=None)
+    # rows must come out in encode order, but Ray Data's default
+    # preserve_order=False lets blocks surface in task-COMPLETION order
+    # under load. The DataContext is captured per-dataset at creation, so
+    # toggling the flag around creation pins THIS dataset without leaking
+    # the (slightly less pipelined) setting to unrelated datasets.
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        return rd.read_binary_files(sel_paths, include_paths=True) \
+            .map_batches(dec, batch_format="pyarrow", batch_size=None)
+    finally:
+        ctx.execution_options.preserve_order = prev

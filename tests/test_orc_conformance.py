@@ -582,3 +582,51 @@ def test_map_kind_both_directions(tmp_path):
     p2 = str(tmp_path / "map_pa.orc")  # conforming-writer direction
     po.write_table(t, p2)
     assert eq(OrcFile(p2).read_table().column("m"), t.column("m"))
+
+
+def test_stripe_stats_pruning(tmp_path):
+    """Metadata per-stripe statistics prune whole STRIPES at read time:
+    a point predicate on a sorted column decodes exactly one stripe; a
+    gap predicate decodes none but keeps the typed schema."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_reader import OrcFile
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    n = 120_000
+    t = pa.table({"k": np.arange(n, dtype=np.int64),
+                  "s": pa.array([f"s{i // 30_000}" for i in range(n)])})
+    p = str(tmp_path / "sp.orc")
+    write_orc(t, p, stripe_rows=30_000)
+    f = OrcFile(p)
+    ss = f.stripe_stats()
+    assert len(ss) == 4
+    assert [s["k"]["min"] for s in ss] == [0, 30_000, 60_000, 90_000]
+    got = f.read_table(predicate=("k", "==", 70_000))
+    assert got.num_rows == 30_000  # exactly one stripe decoded
+    assert int(got.column("k").to_numpy().min()) == 60_000
+    empty = f.read_table(predicate=("k", ">", 10**9))
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["k", "s"]
+    f.close()
+
+
+def test_read_orc_files_split_stripes(ray_session, tmp_path):
+    """split_stripes=True makes the Ray task unit one STRIPE (import
+    parallelism bound by total stripes, not file count)."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_reader import read_orc_files
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    n = 90_000
+    t = pa.table({"k": np.arange(n, dtype=np.int64)})
+    p = str(tmp_path / "big.orc")
+    write_orc(t, p, stripe_rows=30_000)  # 3 stripes, ONE file
+    ds = read_orc_files([p], split_stripes=True)
+    assert ds.count() == n
+    got = sorted(r["k"] for r in ds.take_all())
+    assert got == list(range(n))
+    # stripe pruning composes with stripe-level tasks
+    pr = read_orc_files([p], predicate=("k", "<", 100), split_stripes=True)
+    assert sorted(r["k"] for r in pr.take_all()) == list(range(100))
