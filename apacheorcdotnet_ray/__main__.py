@@ -88,7 +88,19 @@ def cmd_import_orc(args) -> int:
 
     _ensure_ray()
     columns = args.columns.split(",") if args.columns else None
-    read_orc_files(args.input, columns=columns).write_parquet(args.out)
+    predicate = None
+    if args.predicate:
+        col, op, lit = args.predicate.split(",", 2)
+        try:
+            lit = int(lit)
+        except ValueError:
+            try:
+                lit = float(lit)
+            except ValueError:
+                pass
+        predicate = (col, op, lit)
+    read_orc_files(args.input, columns=columns, predicate=predicate,
+                   split_stripes=args.split_stripes).write_parquet(args.out)
     print(json.dumps({"out": args.out}))
     return 0
 
@@ -189,6 +201,11 @@ def main(argv=None) -> int:
     io_.add_argument("input", help=".orc file, glob, or directory")
     io_.add_argument("out")
     io_.add_argument("--columns", default=None)
+    io_.add_argument("--predicate", default=None, metavar="COL,OP,LIT",
+                     help="prunes files (footer stats) AND stripes "
+                          "(Metadata stats), then filters rows exactly")
+    io_.add_argument("--split-stripes", action="store_true",
+                     help="one Ray task per stripe instead of per file")
     io_.set_defaults(fn=cmd_import_orc)
 
     args = p.parse_args(argv)

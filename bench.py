@@ -78,7 +78,11 @@ def run_bench() -> dict:
     read_parquet_clean(corpus).count()
     warm_dir = "/tmp/oray_bench_warmup"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    encode_corpus(corpus, warm_dir)
+    # scaling legs only need the worker pool + imports warm — a few shards
+    # suffice and keep the 1-cpu legs from paying a second full encode
+    warm_corpus = corpus[:max(4, 2 * NUM_CPUS)] \
+        if os.environ.get("GRAFT_ENCODE_ONLY") else corpus
+    encode_corpus(warm_corpus, warm_dir)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     # --- headline: tokens encode ---
