@@ -166,10 +166,10 @@ def _decompress(buf: bytes, compression: int) -> bytes:
     return bytes(out)
 
 
-def _strings_from_blob(blob: bytes, lengths: np.ndarray):
-    """Zero-copy Arrow string array from packed UTF-8 + per-value lengths
-    (the LENGTH stream already IS the vectorized offsets source — no
-    per-row Python slicing/decoding)."""
+def _strings_from_blob(blob: bytes, lengths: np.ndarray, binary: bool = False):
+    """Zero-copy Arrow string/binary array from a packed blob + per-value
+    lengths (the LENGTH stream already IS the vectorized offsets source —
+    no per-row Python slicing/decoding)."""
     import pyarrow as pa
 
     n = len(lengths)
@@ -177,13 +177,14 @@ def _strings_from_blob(blob: bytes, lengths: np.ndarray):
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offs[1:])
         return pa.Array.from_buffers(
-            pa.large_utf8(), n,
+            pa.large_binary() if binary else pa.large_utf8(), n,
             [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
     offs = np.zeros(n + 1, dtype=np.int32)
     if n:
         np.cumsum(lengths, out=offs[1:])
     return pa.Array.from_buffers(
-        pa.utf8(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
+        pa.binary() if binary else pa.utf8(), n,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
 
 
 def _decimals_from_parts(mant: np.ndarray, scale: np.ndarray,
@@ -393,6 +394,17 @@ class OrcFile:
             vals = ints(streams[_KIND_DATA], signed=True)
             dt = {2: np.int16, 3: np.int32, 4: np.int64}[kind]
             arr = pa.array(vals.astype(dt))
+        elif kind == 1:  # BYTE (tinyint): byte-RLE DATA
+            from ..codecs import byte_rle
+
+            n_vals = int(present.sum()) if present is not None \
+                else st.number_of_rows
+            vals = byte_rle.decode(streams[_KIND_DATA], n_vals)
+            arr = pa.array(np.asarray(vals, dtype=np.uint8).view(np.int8))
+        elif kind == 8:  # BINARY: packed blob + LENGTH
+            lengths = ints(streams[_KIND_LENGTH], signed=False)
+            arr = _strings_from_blob(streams[_KIND_DATA], lengths,
+                                     binary=True)
         elif kind == 0:  # BOOLEAN
             n_vals = int(present.sum()) if present is not None \
                 else st.number_of_rows
@@ -402,7 +414,7 @@ class OrcFile:
             arr = pa.array(np.frombuffer(streams[_KIND_DATA], dtype="<f8"))
         elif kind == 5:  # FLOAT
             arr = pa.array(np.frombuffer(streams[_KIND_DATA], dtype="<f4"))
-        elif kind == 7:  # STRING
+        elif kind in (7, 16, 17):  # STRING / VARCHAR / CHAR — same streams
             lengths = ints(streams[_KIND_LENGTH], signed=False)
             if enc in (_ENC_DICTIONARY_V2, _ENC_DICTIONARY):
                 entries = _strings_from_blob(

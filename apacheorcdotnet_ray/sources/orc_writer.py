@@ -91,7 +91,7 @@ _KIND = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "DICTIONARY_DATA": 3,
          "SECONDARY": 5, "ROW_INDEX": 6}
 _TYPE_LONG, _TYPE_STRING, _TYPE_DOUBLE, _TYPE_BOOLEAN, _TYPE_STRUCT = 4, 7, 6, 0, 12
 _TYPE_TIMESTAMP, _TYPE_DECIMAL, _TYPE_DATE, _TYPE_LIST = 9, 14, 15, 10
-_TYPE_MAP = 11
+_TYPE_MAP, _TYPE_FLOAT, _TYPE_BINARY, _TYPE_BYTE = 11, 5, 8, 1
 _TYPE_SHORT, _TYPE_INT = 2, 3
 _ENC_DIRECT, _ENC_DIRECT_V2, _ENC_DICTIONARY_V2 = 0, 2, 3
 
@@ -124,13 +124,18 @@ def _build_node(t: pa.DataType, next_id: list[int]) -> _Node:
                      [_build_node(t.field(i).type, next_id)
                       for i in range(t.num_fields)])
     if pa.types.is_integer(t):
-        kind = _TYPE_SHORT if t.bit_width <= 16 else \
+        kind = _TYPE_BYTE if t.bit_width == 8 else \
+            _TYPE_SHORT if t.bit_width == 16 else \
             _TYPE_INT if t.bit_width == 32 else _TYPE_LONG
         return _Node(nid, t, kind, [])
     if pa.types.is_boolean(t):
         return _Node(nid, t, _TYPE_BOOLEAN, [])
+    if pa.types.is_float32(t):
+        return _Node(nid, t, _TYPE_FLOAT, [])
     if pa.types.is_floating(t):
         return _Node(nid, t, _TYPE_DOUBLE, [])
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return _Node(nid, t, _TYPE_BINARY, [])
     if pa.types.is_timestamp(t):
         return _Node(nid, t, _TYPE_TIMESTAMP, [])
     if pa.types.is_date(t):
@@ -329,6 +334,19 @@ def _encode_node_stripe(node: _Node, arr, row_bounds: np.ndarray,
         vals = d.to_numpy(zero_copy_only=False).astype(np.int64)
         raw, poss = _seg_rle(vals, True, dense_bounds)
         streams.append(("DATA", raw, poss))
+    elif node.kind == _TYPE_BYTE:  # tinyint: byte-RLE DATA
+        from ..codecs import byte_rle as _brle
+
+        bv = d.to_numpy(zero_copy_only=False).astype(np.int8).view(np.uint8)
+        parts, poss, off = [], [], 0
+        ends = list(dense_bounds[1:]) + [len(bv)]
+        for a, b in zip(dense_bounds, ends):
+            poss.append([off, 0])
+            seg = _brle.encode(np.ascontiguousarray(bv[int(a):int(b)]))
+            parts.append(seg)
+            off += len(seg)
+        streams.append(("DATA", b"".join(parts), poss))
+        enc_msg = pb_msg(pb_field(1, _ENC_DIRECT))
     elif node.kind == _TYPE_BOOLEAN:
         bits = d.to_numpy(zero_copy_only=False).astype(bool)
         raw, poss = _seg_bool(bits, dense_bounds)
@@ -339,6 +357,23 @@ def _encode_node_stripe(node: _Node, arr, row_bounds: np.ndarray,
         streams.append(("DATA", vals.tobytes(),
                         [[8 * int(b)] for b in dense_bounds]))
         enc_msg = pb_msg(pb_field(1, _ENC_DIRECT))
+    elif node.kind == _TYPE_FLOAT:
+        vals = d.to_numpy(zero_copy_only=False).astype("<f4")
+        streams.append(("DATA", vals.tobytes(),
+                        [[4 * int(b)] for b in dense_bounds]))
+        enc_msg = pb_msg(pb_field(1, _ENC_DIRECT))
+    elif node.kind == _TYPE_BINARY:
+        sa = d.cast(pa.large_binary())
+        offs = np.frombuffer(sa.buffers()[1], dtype=np.int64,
+                             count=len(sa) + 1, offset=8 * sa.offset)
+        lengths = np.diff(offs)
+        buf = sa.buffers()[2]
+        data = buf.to_pybytes()[offs[0]:offs[-1]] if buf is not None else b""
+        streams.append(("DATA", data,
+                        [[int(offs[int(b)] - offs[0])]
+                         for b in dense_bounds]))
+        raw, poss = _seg_rle(lengths, False, dense_bounds)
+        streams.append(("LENGTH", raw, poss))
     elif node.kind == _TYPE_TIMESTAMP:
         # C++ ORC dialect: seconds truncated toward ZERO, SIGNED scaled
         # nanos for pre-1970 fractions (pyarrow writes -0.5s as secs=0,

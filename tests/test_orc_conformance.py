@@ -630,3 +630,54 @@ def test_read_orc_files_split_stripes(ray_session, tmp_path):
     # stripe pruning composes with stripe-level tasks
     pr = read_orc_files([p], predicate=("k", "<", 100), split_stripes=True)
     assert sorted(r["k"] for r in pr.take_all()) == list(range(100))
+
+
+def test_byte_binary_float_kinds(tmp_path):
+    """Width-faithful BYTE (tinyint, byte-RLE), BINARY (blob+LENGTH) and
+    FLOAT columns — both directions, multi-stripe, nullable. VARCHAR(16)/
+    CHAR(17) dispatch to the STRING decoder (same streams)."""
+    import pyarrow as pa
+
+    from apacheorcdotnet_ray.sources.orc_reader import OrcFile
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+    po = pytest.importorskip("pyarrow.orc")
+
+    def eq(a, b):
+        ca = pa.chunked_array([a]) if isinstance(a, pa.Array) else a
+        cb = pa.chunked_array([b]) if isinstance(b, pa.Array) else b
+        return ca.cast(cb.type).equals(cb)
+
+    n = 20_000
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "i8": pa.array(rng.integers(-128, 128, n).astype(np.int8)),
+        "i8n": pa.array([None if i % 7 == 0 else i % 100 for i in range(n)],
+                        type=pa.int8()),
+        "bin": pa.array([None if i % 11 == 0 else rng.bytes(i % 9)
+                         for i in range(n)], type=pa.binary()),
+        "f32": pa.array(rng.normal(size=n).astype(np.float32)),
+        "s": pa.array([f"v{i % 5}" for i in range(n)]),
+    })
+    p = str(tmp_path / "kinds.orc")
+    write_orc(t, p, stripe_rows=8_000)
+    theirs = po.ORCFile(p).read()
+    assert theirs.schema.field("i8").type == pa.int8()
+    assert theirs.schema.field("f32").type == pa.float32()
+    f = OrcFile(p)
+    mine = f.read_table()
+    for c in t.column_names:
+        assert eq(theirs.column(c), t.column(c)), f"pyarrow {c}"
+        assert eq(mine.column(c), t.column(c)), f"own {c}"
+    # VARCHAR/CHAR kinds decode through the same string path: patch the
+    # Type kind in the parsed footer and re-read
+    scol = f.subtypes(0)[t.column_names.index("s")]
+    for k in (16, 17):
+        f.types[scol][1] = [k]
+        assert eq(f._read_any_column(scol), t.column("s"))
+    f.close()
+    p2 = str(tmp_path / "kinds_pa.orc")  # conforming writer direction
+    po.write_table(t, p2)
+    own2 = OrcFile(p2).read_table()
+    for c in t.column_names:
+        assert eq(own2.column(c), t.column(c)), f"3p {c}"
