@@ -232,17 +232,30 @@ def run_scaling() -> None:
 
     lo, hi = int(os.environ.get("GRAFT_SCALE_LO", 1)), int(os.environ.get("GRAFT_SCALE_HI", 4))
     n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", 5))
+    # sandwich mode: lo, hi, lo per pair — the hi leg sits BETWEEN two lo
+    # legs and the lo time is their mean, so any linear host-load drift
+    # across the pair cancels instead of biasing the ratio (a burst during
+    # exactly one lo leg moved a round-4 pair to eff 2.16)
+    sandwich = os.environ.get("GRAFT_SCALE_SANDWICH", "1") != "0"
     pairs = []
     effs = []
     r_hi = None
     for _ in range(n_pairs):
         r_lo = run(lo)
         r_hi = run(hi)  # immediately after its lo partner
-        e = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        if sandwich:
+            r_lo2 = run(lo)
+            sec_lo = (r_lo["value"] + r_lo2["value"]) / 2
+        else:
+            sec_lo = r_lo["value"]
+        e = (sec_lo / r_hi["value"]) / (hi / lo)
         effs.append(e)
-        pairs.append({f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
-                      "eff": round(e, 3),
-                      "loadavg": round(os.getloadavg()[0], 1)})
+        rec = {f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+               "eff": round(e, 3),
+               "loadavg": round(os.getloadavg()[0], 1)}
+        if sandwich:
+            rec[f"sec_{lo}b"] = r_lo2["value"]
+        pairs.append(rec)
     s = sorted(effs)
     median = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
     print(json.dumps({
