@@ -77,7 +77,9 @@ def cmd_export_orc(args) -> int:
         from .pipelines.encode import decode_dataset
 
         ds = decode_dataset(args.input)
-    n = write_orc_dataset(ds, args.out_dir, compression=args.compression)
+    n = write_orc_dataset(
+        ds, args.out_dir, compression=args.compression,
+        bloom_columns=tuple(args.bloom.split(",")) if args.bloom else ())
     print(json.dumps({"orc_files": n, "out_dir": args.out_dir}))
     return 0
 
@@ -194,6 +196,10 @@ def main(argv=None) -> int:
     xo.add_argument("out_dir")
     xo.add_argument("--compression", default="zlib",
                     choices=["zlib", "zstd", "none"])
+    xo.add_argument("--bloom", default=None, metavar="col1,col2",
+                    help="emit ORC BLOOM_FILTER_UTF8 streams for these "
+                         "columns (equality-predicate row-group skipping "
+                         "in any ORC reader)")
     xo.set_defaults(fn=cmd_export_orc)
 
     io_ = sub.add_parser("import-orc",

@@ -249,6 +249,11 @@ class OrcFile:
         ]
         # types: field 1 = kind enum, field 2 = subtypes (packed or not)
         self.types = [pb_parse(raw) for raw in footer.get(4, [])]
+        # writer implementation (Footer field 9): 0 = ORC_JAVA, 1 =
+        # ORC_CPP, absent = unknown. Java and C++ hash DOUBLE bloom
+        # entries differently, so double bloom probes dispatch on this.
+        w = footer.get(9, [None])[0]
+        self.writer_impl = int(w) if w is not None else None
         self._sf_cache: dict[int, dict[int, list]] = {}
 
     def close(self) -> None:
@@ -293,6 +298,48 @@ class OrcFile:
                                         self.compression)
             pos += ln
         return out
+
+    def bloom_filters(self, st: _Stripe,
+                      column: int) -> list[tuple[int, bytes]] | None:
+        """Parsed BLOOM_FILTER_UTF8 (kind 8) entries for one column of one
+        stripe: one (numHashFunctions, bitset bytes) per row group, or
+        None when the stripe carries no bloom for that column. Kind 7
+        (pre-ORC-101 blooms, different string/double hashing) is ignored
+        — never pruned on, only a missed optimization."""
+        sf = self._stripe_footer(st)
+        pos = st.offset
+        for raw in sf.get(1, []):
+            s = pb_parse(raw)
+            kind = s.get(1, [0])[0]
+            col = s.get(2, [0])[0]
+            ln = s.get(3, [0])[0]
+            if col == column and kind == 8:
+                idx = pb_parse(_decompress(self._buf[pos:pos + ln],
+                                           self.compression))
+                out = []
+                for b in idx.get(1, []):
+                    bd = pb_parse(b)
+                    out.append((int(bd.get(1, [1])[0]),
+                                bd.get(3, [b""])[0]))
+                return out or None
+            pos += ln
+        return None
+
+    def _bloom_may_match(self, st: _Stripe, column: int, lit) -> bool:
+        """False only when the column's blooms PROVE no row group of this
+        stripe can contain ``lit`` (equality predicates). Advisory: any
+        missing/unhashable piece returns True."""
+        from ..codecs.orc_bloom import bloom_might_contain, hash_literal
+
+        dialect = {0: "java", 1: "cpp"}.get(self.writer_impl)
+        h = hash_literal(lit, double_dialect=dialect)
+        if h is None:
+            return True
+        blooms = self.bloom_filters(st, column)
+        if blooms is None:
+            return True
+        return any(bool(bloom_might_contain(k, bits, h).all())
+                   for k, bits in blooms)
 
     def _stripe_encoding(self, st: _Stripe, column: int) -> int:
         enc = self._stripe_footer(st).get(2, [])
@@ -351,6 +398,18 @@ class OrcFile:
                 keep = {id(st) for st, ss in zip(self.stripes, per_stripe)
                         if _stats_may_match(ss, predicate)}
                 stripes = [st for st in stripes if id(st) in keep]
+            if predicate[1] in ("==", "="):
+                # equality: additionally probe BLOOM_FILTER_UTF8 streams
+                # (prunes stripes whose [min, max] matches but which
+                # cannot contain the literal)
+                names = self.field_names()
+                tids = self.subtypes(0) or list(range(1, len(names) + 1))
+                by_name = dict(zip(names, tids))
+                cid = by_name.get(predicate[0])
+                if cid is not None:
+                    stripes = [st for st in stripes
+                               if self._bloom_may_match(
+                                   st, int(cid), predicate[2])]
         names = self.field_names()
         top_ids = self.subtypes(0) or list(range(1, len(names) + 1))
         cols = {}

@@ -521,20 +521,46 @@ def _conv_positions(poss: list | None, table: list | None) -> list | None:
 
 def write_orc(table: pa.Table, path: str, compression: str = "zlib",
               stripe_rows: int | None = None,
-              row_index_stride: int = _DEFAULT_STRIDE) -> None:
+              row_index_stride: int = _DEFAULT_STRIDE,
+              bloom_columns: list[str] | tuple[str, ...] = (),
+              bloom_fpp: float = 0.05) -> None:
     """Write a multi-stripe ORC file (readable by Apache ORC readers).
 
     ``stripe_rows`` rows per stripe (default: sized so a stripe holds
     ~64 MB of Arrow data, the reference's stripe budget); a ROW_INDEX
     stream per column with exact seek positions and per-row-group stats
     every ``row_index_stride`` rows (0 disables); per-stripe column stats
-    in the Metadata section."""
+    in the Metadata section.
+
+    ``bloom_columns``: top-level int/float/string/binary/date columns to
+    also get a BLOOM_FILTER_UTF8 (kind 8) stream — one spec bloom per row
+    group (expected entries = stride, ``bloom_fpp``), hash-pinned
+    byte-identical to the C++/Java ORC writers, so external engines can
+    skip row groups on equality predicates (and ``read_orc_files`` /
+    ``import-orc`` prune stripes). Exceeds the reference, which never
+    implemented bloom filters."""
+    from ..codecs import orc_bloom
+
     comp_enum = {"none": 0, "zlib": 1, "zstd": 5}[compression]
     n_rows = table.num_rows
+    if bloom_columns and not row_index_stride:
+        raise ValueError("bloom_columns require row_index_stride > 0")
+    missing = [c for c in bloom_columns if c not in table.column_names]
+    if missing:
+        raise ValueError(f"bloom_columns not in table: {missing}")
 
     next_id = [1]  # 0 = root struct
     roots = [_build_node(table.column(i).type, next_id)
              for i in range(table.num_columns)]
+    bloom_ids = {}
+    for ci, name in enumerate(table.column_names):
+        if name in bloom_columns:
+            if orc_bloom.hash_arrow_values(
+                    table.column(ci).slice(0, 0).combine_chunks()) is None:
+                raise ValueError(
+                    f"bloom_columns: no ORC bloom hash for column {name!r} "
+                    f"of type {table.column(ci).type}")
+            bloom_ids[roots[ci].id] = name
     n_ids = next_id[0]
     types = [pb_msg(pb_field(1, _TYPE_STRUCT),
                     *[pb_field(2, r.id) for r in roots],
@@ -598,6 +624,25 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
                 ri = pb_msg(*[pb_field(1, e) for e in entries])
                 index_recs.append((_KIND["ROW_INDEX"], nid,
                                    _frame(ri, compression)))
+                if nid in bloom_ids:
+                    # BLOOM_FILTER_UTF8: one spec bloom per row group over
+                    # the group's non-null values (liborc stream order:
+                    # right after the column's ROW_INDEX)
+                    from ..codecs import orc_bloom
+
+                    a, rb = stats_by_id[nid]
+                    blooms = []
+                    for k in range(K):
+                        lo = int(rb[k])
+                        hi = int(rb[k + 1]) if k + 1 < K else len(a)
+                        hashes = orc_bloom.hash_arrow_values(
+                            a.slice(lo, hi - lo))
+                        nh, bits = orc_bloom.bloom_build(
+                            hashes, row_index_stride, bloom_fpp)
+                        blooms.append(pb_msg(pb_field(1, nh),
+                                             pb_field(3, bits)))
+                    bfi = pb_msg(*[pb_field(1, b) for b in blooms])
+                    index_recs.append((8, nid, _frame(bfi, compression)))
         index_bytes = b"".join(fb for _, _, fb in index_recs)
         data_bytes = b"".join(fb for _, _, fb, _ in framed)
         stripe_footer = pb_msg(
@@ -638,6 +683,10 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
         pb_field(6, n_rows),
         *[pb_field(7, st) for st in file_stats],          # file column stats
         pb_field(8, row_index_stride),
+        # writer = ORC_CPP: this writer's DOUBLE bloom hashing follows
+        # liborc's arithmetic-shift dialect, which is what this field
+        # disambiguates (Java hashes doubles differently)
+        pb_field(9, 1),
     )
     footer_framed = _frame(footer, compression)
     postscript = pb_msg(
@@ -646,7 +695,8 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
         pb_field(3, 256 * 1024),
         pb_field(4, 0), pb_field(4, 12),                  # version 0.12
         pb_field(5, len(metadata_framed)),
-        pb_field(6, 1),                                   # writerVersion
+        pb_field(6, 6),     # writerVersion ORC_517 (same as liborc; ≥
+                            # ORC_101 so readers trust kind-8 blooms)
         pb_field(8000, "ORC"),
     )
     assert len(postscript) < 256
@@ -661,7 +711,9 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
 def write_orc_dataset(ds, out_dir: str, compression: str = "zlib",
                       prefix: str = "part",
                       stripe_rows: int | None = None,
-                      row_index_stride: int = _DEFAULT_STRIDE) -> int:
+                      row_index_stride: int = _DEFAULT_STRIDE,
+                      bloom_columns: list[str] | tuple[str, ...] = (),
+                      bloom_fpp: float = 0.05) -> int:
     """Ray Data sink: one ``.orc`` file per input block (resumable
     partitioned output — a failed run just rewrites missing parts).
     Returns the number of files written."""
@@ -678,7 +730,8 @@ def write_orc_dataset(ds, out_dir: str, compression: str = "zlib",
         tmp = os.path.join(out_dir, "." + name)
         write_orc(batch, tmp, compression=compression,
                   stripe_rows=stripe_rows,
-                  row_index_stride=row_index_stride)
+                  row_index_stride=row_index_stride,
+                  bloom_columns=bloom_columns, bloom_fpp=bloom_fpp)
         os.rename(tmp, os.path.join(out_dir, name))  # atomic publish
         return pa.table({"path": pa.array([os.path.join(out_dir, name)]),
                          "rows": pa.array([batch.num_rows], type=pa.int64())})
