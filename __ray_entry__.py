@@ -293,6 +293,31 @@ def _hash_join(sf_dir: str):
     )
 
 
+def _orc_bloom_point_lookup(sf_dir: str):
+    """Point lookup through REAL ORC with BLOOM_FILTER_UTF8 streams:
+    orders exported as multi-stripe .orc with a bloom on o_orderkey (our
+    writer — hashes byte-identical to liborc, tests/test_orc_bloom.py),
+    then an equality-predicate import through our reader: footer-stats
+    file pruning → Metadata stripe-stats pruning → kind-8 bloom probe →
+    exact row filter. The oracle is a plain SELECT, so a bloom false
+    NEGATIVE (wrongly pruned stripe) fails the row-count/hash check."""
+    from apacheorcdotnet_ray.sources.orc_reader import read_orc_files
+    from apacheorcdotnet_ray.sources.orc_writer import write_orc_dataset
+
+    out = _out_dir(sf_dir, "orc-bloom-sink")
+    done = os.path.join(out, "_built")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_orc_dataset(
+            _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+            out, stripe_rows=2000, bloom_columns=["o_orderkey"])
+        open(done, "w").close()
+    return read_orc_files(out, predicate=("o_orderkey", "==", 7))
+
+
 def _orc_file_roundtrip(sf_dir: str):
     """REAL ORC interop inside the correctness gate: the documents table is
     written as .orc files by this repo's writer (Ray sink, our RLEv2/
@@ -1015,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_file_roundtrip": _orc_file_roundtrip,
         "orc_file_roundtrip_events": _orc_file_roundtrip_events,
         "orc_file_roundtrip_tokens": _orc_file_roundtrip_tokens,
+        "orc_bloom_point_lookup": _orc_bloom_point_lookup,
         "full_outer_join": _full_outer_join,
         "semi_join": _semi_join,
         "anti_join": _anti_join,
@@ -1091,13 +1117,14 @@ _DRIVER_WINDOW_FIRST = [
     "distinct_count_hll", "hll_error_bound", "top_k_event_types",
     "pricing_summary", "top_k_by_user", "sessionize", "quantile_median",
     "json_extract", "broadcast_join", "asof_join", "token_count",
-    # pipelines touched this round (ORC writer rework)
+    # pipelines touched this round (ORC writer rework + new blooms)
     "orc_file_roundtrip", "orc_file_roundtrip_events",
-    "orc_file_roundtrip_tokens",
-    # stalest r03 rows, filling the 50-slot window
+    "orc_file_roundtrip_tokens", "orc_bloom_point_lookup",
+    # stalest r03 rows, filling the 50-slot window (gopher_filter rotated
+    # back out — its green r03 row stands — to make room for the bloom op)
     "ngram_counts", "bm25_search", "tfidf_top_terms", "train_val_split",
     "corpus_mix", "stratified_sample", "predicate_scan_temporal",
-    "decontaminate", "redact_terms", "gopher_filter",
+    "decontaminate", "redact_terms",
 ]
 
 
@@ -1939,6 +1966,9 @@ def oracle_sql() -> dict[str, str]:
             " o.o_custkey, o.o_totalprice"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
+        "orc_bloom_point_lookup": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey = 7"),
         "orc_file_roundtrip": "SELECT * FROM documents",
         "orc_file_roundtrip_events": "SELECT * FROM events",
         "orc_file_roundtrip_tokens": (
