@@ -861,6 +861,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = similarity.brute_force_topk(_read(sf_dir, "embeddings"), q[None, :], k=10)
         return res.select(["vec_id"])
 
+    def ann_filtered(sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_table_path(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        q = np.asarray(t["embedding"][int(np.argmin(ids))].as_py(),
+                       dtype=np.float64)
+        res = similarity.filtered_topk(
+            _read(sf_dir, "embeddings",
+                  columns=["vec_id", "embedding", "label"]),
+            q[None, :], k=10, filter_expr="label == 1")
+        return res.select(["vec_id"])
+
     def ann_ivf(sf_dir):
         import numpy as np
         import pyarrow.parquet as pq
@@ -1002,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bands=8).select_columns(["vec_a", "vec_b"]),
         "dedup_end_to_end": _dedup_end_to_end,
         "ann_topk": ann_topk,
+        "ann_filtered": ann_filtered,
         "ann_ivf": ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
         "media_features": _media_features,
@@ -1117,14 +1133,15 @@ _DRIVER_WINDOW_FIRST = [
     "distinct_count_hll", "hll_error_bound", "top_k_event_types",
     "pricing_summary", "top_k_by_user", "sessionize", "quantile_median",
     "json_extract", "broadcast_join", "asof_join", "token_count",
-    # pipelines touched this round (ORC writer rework + new blooms)
+    # pipelines touched this round (ORC writer rework + new round-5 ops)
     "orc_file_roundtrip", "orc_file_roundtrip_events",
-    "orc_file_roundtrip_tokens", "orc_bloom_point_lookup",
-    # stalest r03 rows, filling the 50-slot window (gopher_filter rotated
-    # back out — its green r03 row stands — to make room for the bloom op)
+    "orc_file_roundtrip_tokens", "orc_bloom_point_lookup", "ann_filtered",
+    # stalest r03 rows, filling the 50-slot window (gopher_filter and
+    # redact_terms rotated back out — their green r03 rows stand — to make
+    # room for the two new round-5 ops' first driver runs)
     "ngram_counts", "bm25_search", "tfidf_top_terms", "train_val_split",
     "corpus_mix", "stratified_sample", "predicate_scan_temporal",
-    "decontaminate", "redact_terms",
+    "decontaminate",
 ]
 
 
@@ -2155,6 +2172,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": (
             "SELECT vec_id FROM embeddings"
+            " ORDER BY list_cosine_similarity(embedding,"
+            "   (SELECT embedding FROM embeddings"
+            "    WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC, vec_id"
+            " LIMIT 10"
+        ),
+        "ann_filtered": (
+            "SELECT vec_id FROM embeddings WHERE label = 1"
             " ORDER BY list_cosine_similarity(embedding,"
             "   (SELECT embedding FROM embeddings"
             "    WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC, vec_id"

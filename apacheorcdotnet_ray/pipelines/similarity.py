@@ -65,6 +65,23 @@ def brute_force_topk(
     return pa.Table.from_pylist(rows)
 
 
+def filtered_topk(
+    emb_ds: rd.Dataset, query_vecs: np.ndarray, k: int = 10,
+    filter_expr: str | None = None,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> pa.Table:
+    """Metadata-filtered exact cosine top-k (the standard production ANN
+    shape: "nearest neighbors among rows WHERE <predicate>"). The
+    predicate pushes into the Ray Data scan as an Arrow-level block
+    filter, so excluded rows never reach the matmul — at 100 TB the
+    filter's selectivity directly scales the compute, and a selective
+    predicate on a clustered column also prunes whole blocks at the
+    read."""
+    ds = emb_ds.filter(expr=filter_expr) if filter_expr else emb_ds
+    return brute_force_topk(ds, query_vecs, k, id_col=id_col,
+                            emb_col=emb_col)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted file) variant — the 100TB-scale path
 
