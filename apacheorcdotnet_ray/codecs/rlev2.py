@@ -420,8 +420,15 @@ def decode(buf: bytes, signed: bool, expected_count: int | None = None) -> np.nd
 
 
 def decode_from(
-    buf: bytes, pos: int, signed: bool, expected_count: int | None = None
+    buf: bytes, pos: int, signed: bool, expected_count: int | None = None,
+    allow_overshoot: bool = False,
 ) -> tuple[np.ndarray, int]:
+    """Decode starting at ``pos``. With ``expected_count`` the loop stops
+    once that many values are available; ``allow_overshoot`` tolerates the
+    final run producing MORE than requested (an ORC ROW_INDEX seek into a
+    foreign writer's stream lands on a run header that can span a
+    row-group boundary — the caller slices). Without it a count mismatch
+    raises (the native container's segments are exact)."""
     chunks: list[np.ndarray] = []
     total = 0
     end = len(buf)
@@ -466,7 +473,9 @@ def decode_from(
         chunks.append(arr)
         total += len(arr)
     flush_sr()
-    if expected_count is not None and total != expected_count:
+    if expected_count is not None and (
+            total < expected_count
+            or (total != expected_count and not allow_overshoot)):
         raise ValueError(f"RLEv2 decode produced {total} values, expected {expected_count}")
     if not chunks:
         return np.empty(0, dtype=I64), pos

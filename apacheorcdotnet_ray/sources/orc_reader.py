@@ -39,7 +39,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..codecs import bool_rle, rlev1, rlev2
+from ..codecs import bool_rle, byte_rle, rlev1, rlev2
 
 # --- minimal protobuf wire-format reader -----------------------------------
 
@@ -254,7 +254,9 @@ class OrcFile:
         # entries differently, so double bloom probes dispatch on this.
         w = footer.get(9, [None])[0]
         self.writer_impl = int(w) if w is not None else None
+        self.row_index_stride = footer.get(8, [0])[0]
         self._sf_cache: dict[int, dict[int, list]] = {}
+        self._dict_cache: dict[tuple[int, int], "pa.Array"] = {}  # noqa: F821
 
     def close(self) -> None:
         buf, self._buf = self._buf, b""
@@ -298,6 +300,281 @@ class OrcFile:
                                         self.compression)
             pos += ln
         return out
+
+    def _stream_spans(self, st: _Stripe) -> list[tuple[int, int, int, int]]:
+        """(kind, column, absolute offset, length) per stream, in stripe
+        directory order (payloads are laid out in exactly this order)."""
+        sf = self._stripe_footer(st)
+        out = []
+        pos = st.offset
+        for raw in sf.get(1, []):
+            s = pb_parse(raw)
+            kind = s.get(1, [0])[0]
+            col = s.get(2, [0])[0]
+            ln = s.get(3, [0])[0]
+            out.append((kind, col, pos, ln))
+            pos += ln
+        return out
+
+    def _row_index(self, st: _Stripe,
+                   column: int) -> list[tuple[list[int], dict]] | None:
+        """Parsed ROW_INDEX for one column of one stripe: one
+        (positions, stats-rec) per row group, or None when absent."""
+        for kind, col, off, ln in self._stream_spans(st):
+            if col == column and kind == _KIND_ROW_INDEX:
+                ri = pb_parse(_decompress(self._buf[off:off + ln],
+                                          self.compression))
+                out = []
+                for raw in ri.get(1, []):
+                    e = pb_parse(raw)
+                    poss = pb_repeated_uint(e.get(1, []))
+                    stat_raw = e.get(2, [None])[0]
+                    rec = _stats_rec(pb_parse(stat_raw)) if stat_raw else {}
+                    out.append((poss, rec))
+                return out or None
+        return None
+
+    # --- row-group (ROW_INDEX-seek) decode -------------------------------
+
+    # scalar ORC type kinds the group decoder supports (nested kinds fall
+    # back to full-stripe decode)
+    _GROUP_KINDS = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 14, 15, 16, 17}
+
+    def _position_arity(self, stream_kind: int, type_kind: int,
+                        enc: int) -> int | None:
+        """How many ROW_INDEX position values one RowIndexEntry carries
+        for this stream (spec: stream seek base — 1 uncompressed, 2
+        compressed — plus codec state), or None for streams that carry no
+        row positions (dictionary blobs)."""
+        base = 1 if self.compression == 0 else 2
+        dictionary = enc in (_ENC_DICTIONARY_V2, _ENC_DICTIONARY)
+        if stream_kind == _KIND_PRESENT:
+            return base + 2                      # byte-RLE run + bit
+        if stream_kind in (_KIND_DICTIONARY_DATA,):
+            return None
+        if stream_kind == _KIND_LENGTH:
+            return None if dictionary else base + 1
+        if stream_kind == _KIND_DATA:
+            if type_kind == 0:
+                return base + 2                  # boolean bits
+            if type_kind == 1:
+                return base + 1                  # byte-RLE
+            if type_kind in (2, 3, 4, 9, 15):
+                return base + 1                  # int RLE
+            if type_kind in (5, 6, 8, 14):
+                return base                      # raw bytes / varint
+            if type_kind in (7, 16, 17):
+                return base + 1 if dictionary else base
+        if stream_kind == 5:                     # SECONDARY
+            return base + 1                      # ts nanos / decimal scale
+        return None
+
+    def _bytes_from_position(self, span: tuple[int, int], pos: list[int]
+                             ) -> tuple[bytes, int]:
+        """(decompressed bytes from the position's chunk to stream end,
+        byte offset of the seek point within them). Decompressing to the
+        stream end trades some tail work for simplicity — the expensive
+        part a seek avoids is decoding values, and chunks BEFORE the seek
+        point are never touched."""
+        off, ln = span
+        if self.compression == 0:
+            return self._buf[off:off + ln], int(pos[0])
+        chunk, within = int(pos[0]), int(pos[1])
+        return _decompress(self._buf[off + chunk:off + ln],
+                           self.compression), within
+
+    def _seek_ints(self, span, base, state, n, signed) -> np.ndarray:
+        """RLEv2 seek decode: jump to the position's chunk/byte, decode
+        ``state[0]`` + ``n`` values (the run containing the group's first
+        value may have started before the boundary), drop the skip."""
+        buf, off = self._bytes_from_position(span, base)
+        skip = int(state[0])
+        vals, _ = rlev2.decode_from(buf, off, signed,
+                                    expected_count=skip + n,
+                                    allow_overshoot=True)
+        return vals[skip:skip + n]
+
+    def _seek_bits(self, span, base, state, n) -> np.ndarray:
+        """Boolean/PRESENT seek decode: byte-RLE run skip + bit offset."""
+        byte_skip, bit_off = int(state[0]), int(state[1])
+        buf, off = self._bytes_from_position(span, base)
+        nbytes = byte_skip + (bit_off + n + 7) // 8
+        packed, _ = byte_rle.decode_from(buf, off, expected_count=nbytes)
+        packed = packed[byte_skip:byte_skip + (bit_off + n + 7) // 8]
+        return np.unpackbits(packed)[bit_off:bit_off + n].astype(bool)
+
+    def _dictionary(self, st: _Stripe, column: int):
+        """Decoded (cached) dictionary entries for one stripe/column."""
+        key = (st.offset, column)
+        ent = self._dict_cache.get(key)
+        if ent is None:
+            spans = {k: (o, ln) for k, c, o, ln in self._stream_spans(st)
+                     if c == column}
+            lengths = rlev2.decode(
+                _decompress(self._buf[spans[_KIND_LENGTH][0]:
+                                      spans[_KIND_LENGTH][0]
+                                      + spans[_KIND_LENGTH][1]],
+                            self.compression), signed=False)
+            blob = _decompress(
+                self._buf[spans[_KIND_DICTIONARY_DATA][0]:
+                          spans[_KIND_DICTIONARY_DATA][0]
+                          + spans[_KIND_DICTIONARY_DATA][1]],
+                self.compression)
+            ent = _strings_from_blob(blob, lengths)
+            self._dict_cache[key] = ent
+        return ent
+
+    def _read_column_stripe_groups(self, st: _Stripe, column: int,
+                                   groups: list[int]):
+        """Decode ONLY the given row groups of one scalar column via
+        ROW_INDEX positions (works on foreign files too: seeks land on
+        run headers, the skip count crosses into mid-run group starts).
+        Returns the concatenated Arrow array, or None when this column
+        cannot group-decode (nested type, RLEv1 int encoding, missing or
+        unexpected index layout) — callers fall back to the full-stripe
+        decode."""
+        import pyarrow as pa
+
+        kind = self.types[column].get(1, [0])[0]
+        if kind not in self._GROUP_KINDS:
+            return None
+        enc = self._stripe_encoding(st, column)
+        if kind in (2, 3, 4, 7, 8, 9, 14, 15, 16, 17) \
+                and enc in (_ENC_DIRECT, _ENC_DICTIONARY):
+            # pre-Hive-0.12 encodings: every int-RLE stream (data, ids,
+            # lengths, scales) is RLEv1, which has no seek decoder here
+            return None
+        ri = self._row_index(st, column)
+        stride = self.row_index_stride
+        if not ri or not stride:
+            return None
+        spans = {k: (o, ln) for k, c, o, ln in self._stream_spans(st)
+                 if c == column and k not in (_KIND_ROW_INDEX, 7, 8)}
+        # RowIndexEntry positions follow the LOGICAL stream order
+        # (PRESENT, DATA, then LENGTH/SECONDARY), NOT the stripe
+        # directory order — liborc lists LENGTH before DATA in the
+        # directory but records positions DATA-first
+        order = [_KIND_PRESENT, _KIND_DATA]
+        if kind in (7, 16, 17):
+            if enc not in (_ENC_DICTIONARY_V2, _ENC_DICTIONARY):
+                order.append(_KIND_LENGTH)
+        elif kind == 8:
+            order.append(_KIND_LENGTH)
+        elif kind in (9, 14):
+            order.append(5)                      # SECONDARY
+        layout = []       # (stream kind, span, slice into positions)
+        at = 0
+        for k in order:
+            if k not in spans:
+                continue
+            a = self._position_arity(k, kind, enc)
+            if a:
+                layout.append((k, spans[k], slice(at, at + a)))
+                at += a
+        if any(len(p) != at for p, _ in ri):
+            return None   # layout mismatch — never guess on foreign files
+        base_n = 1 if self.compression == 0 else 2
+
+        def stream_pos(g, want_kind):
+            for k, span, sl in layout:
+                if k == want_kind:
+                    p = ri[g][0][sl]
+                    return span, p[:base_n], p[base_n:]
+            return None
+
+        parts = []
+        for g in groups:
+            n_rows = min(stride, st.number_of_rows - g * stride)
+            present = None
+            n = n_rows
+            if stream_pos(g, _KIND_PRESENT) is not None:
+                span, base, state = stream_pos(g, _KIND_PRESENT)
+                present = self._seek_bits(span, base, state, n_rows)
+                n = int(present.sum())
+            if kind in (2, 3, 4):       # SHORT / INT / LONG
+                span, base, state = stream_pos(g, _KIND_DATA)
+                vals = self._seek_ints(span, base, state, n, signed=True)
+                dt = {2: np.int16, 3: np.int32, 4: np.int64}[kind]
+                arr = pa.array(vals.astype(dt))
+            elif kind == 1:             # BYTE
+                span, base, state = stream_pos(g, _KIND_DATA)
+                buf, off = self._bytes_from_position(span, base)
+                skip = int(state[0])
+                bv, _ = byte_rle.decode_from(buf, off,
+                                             expected_count=skip + n)
+                arr = pa.array(bv[skip:skip + n].view(np.int8))
+            elif kind == 0:             # BOOLEAN
+                span, base, state = stream_pos(g, _KIND_DATA)
+                arr = pa.array(self._seek_bits(span, base, state, n))
+            elif kind == 6:             # DOUBLE
+                span, base, _ = stream_pos(g, _KIND_DATA)
+                buf, off = self._bytes_from_position(span, base)
+                arr = pa.array(np.frombuffer(buf, "<f8", count=n,
+                                             offset=off))
+            elif kind == 5:             # FLOAT
+                span, base, _ = stream_pos(g, _KIND_DATA)
+                buf, off = self._bytes_from_position(span, base)
+                arr = pa.array(np.frombuffer(buf, "<f4", count=n,
+                                             offset=off))
+            elif kind in (7, 16, 17):   # STRING / VARCHAR / CHAR
+                if enc in (_ENC_DICTIONARY_V2, _ENC_DICTIONARY):
+                    span, base, state = stream_pos(g, _KIND_DATA)
+                    ids = self._seek_ints(span, base, state, n, signed=False)
+                    arr = self._dictionary(st, column).take(pa.array(ids))
+                else:
+                    span, base, state = stream_pos(g, _KIND_LENGTH)
+                    lengths = self._seek_ints(span, base, state, n,
+                                              signed=False)
+                    span, base, _ = stream_pos(g, _KIND_DATA)
+                    buf, off = self._bytes_from_position(span, base)
+                    blob = buf[off:off + int(lengths.sum())]
+                    arr = _strings_from_blob(blob, lengths)
+            elif kind == 8:             # BINARY
+                span, base, state = stream_pos(g, _KIND_LENGTH)
+                lengths = self._seek_ints(span, base, state, n, signed=False)
+                span, base, _ = stream_pos(g, _KIND_DATA)
+                buf, off = self._bytes_from_position(span, base)
+                arr = _strings_from_blob(buf[off:off + int(lengths.sum())],
+                                         lengths, binary=True)
+            elif kind == 9:             # TIMESTAMP
+                from ..stripe.columns import _decode_orc_nanos, _ORC_EPOCH_S
+
+                span, base, state = stream_pos(g, _KIND_DATA)
+                secs = self._seek_ints(span, base, state, n, signed=True)
+                span, base, state = stream_pos(g, 5)
+                frac = self._seek_ints(span, base, state, n, signed=False)
+                nanos = _decode_orc_nanos(frac.astype(np.int64))
+                unix_secs = secs + _ORC_EPOCH_S
+                adj = ((unix_secs < 0) & (nanos > 999_999)).astype(np.int64)
+                us = (unix_secs - adj) * 1_000_000 + nanos // 1_000
+                arr = pa.array(us).cast(pa.timestamp("us"))
+            elif kind == 15:            # DATE
+                span, base, state = stream_pos(g, _KIND_DATA)
+                days = self._seek_ints(span, base, state, n, signed=True)
+                arr = pa.array(days.astype(np.int32)).cast(pa.date32())
+            elif kind == 14:            # DECIMAL
+                from ..codecs import varint
+
+                span, base, _ = stream_pos(g, _KIND_DATA)
+                buf, off = self._bytes_from_position(span, base)
+                # varints are self-delimiting: decode from the seek point
+                # and keep the group's first n values
+                mant = varint.decode(buf[off:], signed=True)[:n]
+                span, base, state = stream_pos(g, 5)
+                scale = self._seek_ints(span, base, state, n, signed=True)
+                prec = self.types[column].get(5, [38])[0]
+                scl = self.types[column].get(6, [0])[0]
+                arr = _decimals_from_parts(mant, scale, prec, scl)
+            else:  # pragma: no cover - guarded by _GROUP_KINDS
+                return None
+            if present is not None:
+                idx = np.maximum(np.cumsum(present) - 1, 0)
+                arr = arr.take(pa.array(idx, mask=~present))
+            parts.append(arr.combine_chunks()
+                         if isinstance(arr, pa.ChunkedArray) else arr)
+        if not parts:  # callers skip stripes whose keep-set is empty
+            return None
+        return pa.concat_arrays(parts)
 
     def bloom_filters(self, st: _Stripe,
                       column: int) -> list[tuple[int, bytes]] | None:
@@ -412,11 +689,72 @@ class OrcFile:
                                    st, int(cid), predicate[2])]
         names = self.field_names()
         top_ids = self.subtypes(0) or list(range(1, len(names) + 1))
+        want = [(int(ci), name) for ci, name in zip(top_ids, names)
+                if columns is None or name in columns]
+
+        # row-group plan: inside each surviving stripe, keep only groups
+        # whose ROW_INDEX stats (and bloom, for equality) may match — the
+        # ORC seek-skip a production reader does. Kicks in only when every
+        # requested column can seek-decode (scalar, RLEv2-family).
+        plan: dict[int, list[int]] = {}
+        if predicate is not None and self.row_index_stride and stripes:
+            by_name = dict(zip(names, top_ids))
+            cid = by_name.get(predicate[0])
+            op = predicate[1]
+            if cid is not None and op in ("==", "=", "<", "<=", ">", ">="):
+                from ..codecs.orc_bloom import (bloom_might_contain,
+                                                hash_literal)
+
+                dialect = {0: "java", 1: "cpp"}.get(self.writer_impl)
+                h = hash_literal(predicate[2], double_dialect=dialect) \
+                    if op in ("==", "=") else None
+                stride = self.row_index_stride
+                for st in stripes:
+                    K = -(-st.number_of_rows // stride)
+                    ri = self._row_index(st, int(cid))
+                    if not ri or len(ri) != K:
+                        continue
+                    keep = [g for g in range(K) if _stats_may_match(
+                        {predicate[0]: ri[g][1]}, predicate)]
+                    if h is not None and keep:
+                        blooms = self.bloom_filters(st, int(cid))
+                        if blooms and len(blooms) == K:
+                            keep = [g for g in keep if bool(
+                                bloom_might_contain(*blooms[g], h).all())]
+                    if len(keep) < K:
+                        plan[id(st)] = keep
+
+        per_col: dict[str, list] = {name: [] for _, name in want}
+        for st in stripes:
+            keep = plan.get(id(st))
+            done = None
+            if keep is not None:
+                if not keep:
+                    continue  # every row group pruned
+                done = {}
+                for ci, name in want:
+                    arr = self._read_column_stripe_groups(st, ci, keep)
+                    if arr is None:  # some column can't seek-decode
+                        done = None
+                        break
+                    done[name] = arr
+            if done is None:
+                done = {name: self._read_column_stripe(st, ci)
+                        for ci, name in want}
+            for _, name in want:
+                a = done[name]
+                per_col[name].append(a.combine_chunks()
+                                     if isinstance(a, pa.ChunkedArray)
+                                     else a)
         cols = {}
-        for ci, name in zip(top_ids, names):
-            if columns is not None and name not in columns:
-                continue
-            cols[name] = self._read_any_column(int(ci), stripes)
+        for ci, name in want:
+            parts = per_col[name]
+            if not parts:  # every stripe pruned: typed empty column
+                cols[name] = pa.concat_arrays(
+                    [self._read_column_stripe(self.stripes[0], ci)]
+                ).slice(0, 0) if self.stripes else pa.array([])
+            else:
+                cols[name] = pa.concat_arrays(parts)
         return pa.table(cols)
 
     def _read_any_column(self, column: int, stripes=None):

@@ -105,9 +105,9 @@ def test_writer_blooms_roundtrip_and_prune(tmp_path):
     blooms = f.bloom_filters(f.stripes[0], 1)
     assert blooms is not None and len(blooms) == 5  # 10k rows / 2k stride
 
-    # present value: exactly its stripe decodes
+    # present value: exactly its row GROUP decodes (ROW_INDEX seek)
     hit = f.read_table(predicate=("id", "==", 350_000))
-    assert hit.num_rows == 10_000
+    assert hit.num_rows == 2_000
     assert 350_000 in hit.column("id").to_pylist()
     # absent but inside every stripe's [min, max]: only the bloom can
     # prune (stats cannot) -> zero stripes decoded
@@ -115,10 +115,11 @@ def test_writer_blooms_roundtrip_and_prune(tmp_path):
     # string probe: in-range absent value ("u-012345x" sorts between
     # min and max of every stripe)
     assert f.read_table(predicate=("name", "==", "u-012345x")).num_rows == 0
-    # "u-017000" occurs in exactly one stripe (name indices 15000-19999
-    # appear once in the 40k-row cycle-by-25000 layout)
-    assert f.read_table(
-        predicate=("name", "==", "u-017000")).num_rows == 10_000
+    # "u-017000" occurs exactly once (name indices 15000-19999 appear
+    # once in the 40k-row cycle-by-25000 layout) → one row group decodes
+    hit = f.read_table(predicate=("name", "==", "u-017000"))
+    assert hit.num_rows == 2_000
+    assert "u-017000" in hit.column("name").to_pylist()
     f.close()
 
 
@@ -132,7 +133,9 @@ def test_double_bloom_prune_dispatches_on_writer(tmp_path):
               bloom_columns=["x"], bloom_fpp=0.01)
     f = OrcFile(p)
     assert f.writer_impl == 1
-    assert f.read_table(predicate=("x", "==", 300.25)).num_rows == 2_000
+    hit = f.read_table(predicate=("x", "==", 300.25))
+    assert hit.num_rows == 500  # one row group
+    assert 300.25 in hit.column("x").to_pylist()
     # in-range but absent (off the 0.25 grid)
     assert f.read_table(predicate=("x", "==", 300.26)).num_rows == 0
     f.close()
@@ -154,9 +157,12 @@ def test_bloomless_and_unhashable_predicates_never_prune(tmp_path):
     p = str(tmp_path / "nobloom.orc")
     write_orc(t, p, row_index_stride=50)
     f = OrcFile(p)
-    # no bloom stream -> advisory True -> stats-only behavior
-    assert f.read_table(predicate=("id", "==", 5)).num_rows == 100
-    # bool literal is unhashable for ORC blooms -> no pruning, no crash
+    # no bloom stream -> advisory True -> ROW_INDEX stats narrow to the
+    # one 50-row group containing the key
+    hit = f.read_table(predicate=("id", "==", 5))
+    assert hit.num_rows == 50 and 5 in hit.column("id").to_pylist()
+    # bool literal is unhashable for ORC blooms and carries no min/max
+    # stats -> no pruning anywhere, no crash
     assert f.read_table(predicate=("b", "==", True)).num_rows == 100
     f.close()
 

@@ -603,8 +603,10 @@ def test_stripe_stats_pruning(tmp_path):
     assert len(ss) == 4
     assert [s["k"]["min"] for s in ss] == [0, 30_000, 60_000, 90_000]
     got = f.read_table(predicate=("k", "==", 70_000))
-    assert got.num_rows == 30_000  # exactly one stripe decoded
-    assert int(got.column("k").to_numpy().min()) == 60_000
+    # one stripe survives the Metadata stats, and inside it the ROW_INDEX
+    # seek decode narrows to the one 10k-row group containing the key
+    assert got.num_rows == 10_000
+    assert int(got.column("k").to_numpy().min()) == 70_000
     empty = f.read_table(predicate=("k", ">", 10**9))
     assert empty.num_rows == 0
     assert empty.schema.names == ["k", "s"]

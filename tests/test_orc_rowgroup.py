@@ -1,0 +1,134 @@
+"""ORC row-group (ROW_INDEX seek) decode: predicate reads decode only the
+row groups whose index stats/blooms may match, on our own files AND on
+foreign liborc files whose RLE runs cross group boundaries (the seek lands
+on a run header and skips into it)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.orc as pa_orc
+import pytest
+
+from apacheorcdotnet_ray.codecs import rlev2
+from apacheorcdotnet_ray.sources.orc_reader import OrcFile
+from apacheorcdotnet_ray.sources.orc_writer import write_orc
+
+DEMO = "/root/reference/test/ApacheOrcDotNet.Test/Data/demo-12-zlib.orc"
+
+
+def _table(n=50_000):
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64) * 3),
+        "name": pa.array([f"row-{k:06d}" for k in range(n)]),       # direct
+        "cat": pa.array([f"cat-{k % 50:03d}" for k in range(n)]),   # dict
+        "score": pa.array(np.linspace(0, 1, n)),
+        "flag": pa.array([(k // 7) % 2 == 0 for k in range(n)]),
+        "d": pa.array(np.arange(n) % 1000, type=pa.int32())
+        .cast(pa.date32()),
+    })
+
+
+def test_rlev2_seek_overshoot():
+    vals = np.arange(5000, dtype=np.int64)
+    enc = rlev2.encode(vals, signed=True)
+    got, _ = rlev2.decode_from(enc, 0, True, expected_count=100,
+                               allow_overshoot=True)
+    assert len(got) >= 100 and np.array_equal(got[:100], vals[:100])
+    with pytest.raises(ValueError):
+        rlev2.decode_from(enc, 0, True, expected_count=100)
+
+
+def test_own_file_group_decode(tmp_path):
+    t = _table()
+    p = str(tmp_path / "rg.orc")
+    write_orc(t, p, compression="zlib", stripe_rows=20_000,
+              row_index_stride=2_000, bloom_columns=["id"])
+    f = OrcFile(p)
+    full = f.read_table()
+    assert full.equals(t)
+    # equality: one row group decodes (row 10_000 → stripe 0, group 5)
+    res = f.read_table(predicate=("id", "==", 30_000))
+    assert res.num_rows == 2_000
+    assert res.equals(full.slice(10_000, 2_000))
+    # range: leading two groups
+    res = f.read_table(predicate=("id", "<", 3 * 2_500))
+    assert res.num_rows == 4_000
+    assert res.equals(full.slice(0, 4_000))
+    # upper range: trailing groups of the last stripe
+    res = f.read_table(predicate=("id", ">=", 3 * 49_000))
+    assert res.num_rows == 2_000
+    assert res.equals(full.slice(48_000, 2_000))
+    f.close()
+
+
+def test_own_file_group_decode_nulls_ts_decimal(tmp_path):
+    n = 20_000
+    ids = pa.array([None if k % 11 == 0 else k * 5 for k in range(n)],
+                   type=pa.int64())
+    ts = pa.array([1_500_000_000_000_000 + k * 1_000_003 for k in range(n)]
+                  ).cast(pa.timestamp("us"))
+    from decimal import Decimal
+
+    dec = pa.array([Decimal(k * 7).scaleb(-2) for k in range(n)],
+                   type=pa.decimal128(12, 2))
+    s = pa.array([None if k % 13 == 0 else f"v{k:05d}" for k in range(n)])
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "id": ids, "ts": ts, "dec": dec, "s": s})
+    p = str(tmp_path / "rg_null.orc")
+    write_orc(t, p, compression="zlib", stripe_rows=10_000,
+              row_index_stride=1_000)
+    f = OrcFile(p)
+    full = f.read_table()
+    assert full.equals(t)
+    res = f.read_table(predicate=("k", "==", 7_500))
+    assert res.num_rows == 1_000
+    assert res.equals(full.slice(7_000, 1_000))
+    f.close()
+
+
+def test_foreign_liborc_group_decode(tmp_path):
+    """liborc does NOT restart RLE runs at row-group bounds — this pins
+    the mid-run seek path (positions point at a run header + skip)."""
+    t = _table()
+    p = str(tmp_path / "rg_foreign.orc")
+    pa_orc.write_table(t, p, compression="zlib", stripe_size=1 << 22,
+                       row_index_stride=2_000, bloom_filter_columns=[1])
+    f = OrcFile(p)
+    full = f.read_table()
+    res = f.read_table(predicate=("id", "==", 30_000))
+    assert res.num_rows < f.number_of_rows
+    assert res.filter(pc.equal(res["id"], 30_000)).num_rows == 1
+    idx = pc.index(full["id"], 30_000).as_py()
+    assert res.equals(full.slice(idx - idx % 2_000, res.num_rows))
+    f.close()
+
+
+def test_nested_column_falls_back_consistently(tmp_path):
+    n = 6_000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "lst": pa.array([[k, k + 1] for k in range(n)]),
+    })
+    p = str(tmp_path / "rg_nested.orc")
+    write_orc(t, p, stripe_rows=3_000, row_index_stride=1_000)
+    f = OrcFile(p)
+    # a LIST column can't seek-decode → whole matching STRIPE decodes,
+    # but both columns must stay row-aligned
+    res = f.read_table(predicate=("k", "==", 10))
+    assert res.num_rows == 3_000
+    assert res.column("k").length() == res.column("lst").length()
+    assert res.filter(pc.equal(res["k"], 10))["lst"][0].as_py() == [10, 11]
+    f.close()
+
+
+def test_hive_demo_file_predicate_still_exact():
+    """demo-12-zlib.orc uses pre-Hive-0.12 (RLEv1) encodings — the seek
+    decoder refuses them and the read falls back, so predicate results
+    stay correct (superset + exact filter happens in read_orc_files)."""
+    f = OrcFile(DEMO)
+    full = f.read_table(columns=["_col0"])
+    res = f.read_table(columns=["_col0"], predicate=("_col0", "==", 500))
+    assert res.num_rows <= full.num_rows
+    assert res.filter(pc.equal(res["_col0"], 500)).num_rows == \
+        full.filter(pc.equal(full["_col0"], 500)).num_rows
+    f.close()
