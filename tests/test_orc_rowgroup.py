@@ -103,6 +103,28 @@ def test_foreign_liborc_group_decode(tmp_path):
     f.close()
 
 
+def test_foreign_liborc_group_decode_nulls(tmp_path):
+    n = 20_000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array([None if j % 9 == 0 else j * 2 for j in range(n)],
+                      type=pa.int64()),
+        "s": pa.array([None if j % 7 == 0 else f"x{j:05d}"
+                       for j in range(n)]),
+    })
+    p = str(tmp_path / "rg_fnull.orc")
+    pa_orc.write_table(t, p, compression="zlib", stripe_size=1 << 22,
+                       row_index_stride=1_000)
+    f = OrcFile(p)
+    full = f.read_table()
+    assert full.equals(t)
+    res = f.read_table(predicate=("k", "==", 7_500))
+    assert res.num_rows < n
+    idx = pc.index(full["k"], 7_500).as_py()
+    assert res.equals(full.slice(idx - idx % 1_000, res.num_rows))
+    f.close()
+
+
 def test_nested_column_falls_back_consistently(tmp_path):
     n = 6_000
     t = pa.table({
