@@ -1089,6 +1089,15 @@ def read_orc_files(paths, columns: list[str] | None = None,
             f.close()
             items.extend({"path": p, "stripe": i} for i in range(n_st))
 
+    # the exact row filter needs the predicate column even when the
+    # caller's projection excludes it — read it, filter, then drop
+    read_cols = columns
+    drop_after = []
+    if columns is not None and predicate is not None \
+            and predicate[0] not in columns:
+        read_cols = list(columns) + [predicate[0]]
+        drop_after = [predicate[0]]
+
     def decode(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -1098,7 +1107,7 @@ def read_orc_files(paths, columns: list[str] | None = None,
             f = OrcFile(p)
             # surviving files also prune STRIPES by Metadata stripe stats
             tables.append(f.read_table(
-                columns=columns, predicate=predicate,
+                columns=read_cols, predicate=predicate,
                 stripe_indices=None if si < 0 else [si]))
             f.close()
         t = pa.concat_tables(tables)
@@ -1107,6 +1116,8 @@ def read_orc_files(paths, columns: list[str] | None = None,
             kernel = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
                       ">": pc.greater, ">=": pc.greater_equal}[op]
             t = t.filter(kernel(t.column(col), lit))
+        if drop_after:
+            t = t.drop_columns(drop_after)
         return t
 
     return rd.from_items(items, override_num_blocks=len(items)) \

@@ -143,6 +143,20 @@ def test_nested_column_falls_back_consistently(tmp_path):
     f.close()
 
 
+def test_read_orc_files_projection_excludes_predicate_column(tmp_path):
+    """The Ray source reads the predicate column for the exact filter
+    even when the caller's projection drops it, then removes it."""
+    from apacheorcdotnet_ray.sources.orc_reader import read_orc_files
+
+    t = pa.table({"k": pa.array(np.arange(10_000, dtype=np.int64)),
+                  "v": pa.array([f"s{j}" for j in range(10_000)])})
+    write_orc(t, str(tmp_path / "a.orc"), stripe_rows=5_000,
+              row_index_stride=1_000)
+    res = read_orc_files(str(tmp_path), columns=["v"],
+                         predicate=("k", "==", 4_321)).take_all()
+    assert res == [{"v": "s4321"}]
+
+
 def test_hive_demo_file_predicate_still_exact():
     """demo-12-zlib.orc uses pre-Hive-0.12 (RLEv1) encodings — the seek
     decoder refuses them and the read falls back, so predicate results
