@@ -143,6 +143,53 @@ def test_nested_column_falls_back_consistently(tmp_path):
     f.close()
 
 
+def test_group_decode_randomized_equivalence(tmp_path):
+    """Property check: for random scalar schemas, null densities and
+    predicates, (group-pruned read + exact filter) ≡ (full read + exact
+    filter), against both our writer and liborc."""
+    rng = np.random.default_rng(42)
+    n = 12_000
+    for trial in range(4):
+        null_every = int(rng.integers(5, 30))
+        t = pa.table({
+            "k": pa.array(rng.permutation(n).astype(np.int64)
+                          if trial % 2 else np.arange(n, dtype=np.int64)),
+            "v": pa.array([None if j % null_every == 0
+                           else int(rng.integers(0, 500))
+                           for j in range(n)], type=pa.int64()),
+            "s": pa.array([f"t{int(x):04d}" for x in
+                           rng.integers(0, 300, n)]),     # dict-encodable
+            "f": pa.array(rng.standard_normal(n)),
+        })
+        p = str(tmp_path / f"rnd{trial}.orc")
+        if trial % 2:
+            pa_orc.write_table(t, p, compression="zlib",
+                               stripe_size=1 << 20, row_index_stride=1_000)
+        else:
+            write_orc(t, p, compression="zlib", stripe_rows=4_000,
+                      row_index_stride=1_000, bloom_columns=["k", "s"])
+        f = OrcFile(p)
+        full = f.read_table()
+        assert full.equals(t)
+        for pred in [("k", "==", int(rng.integers(0, n))),
+                     ("k", "<", int(rng.integers(1, n))),
+                     ("v", "==", int(rng.integers(0, 500))),
+                     ("s", "==", f"t{int(rng.integers(0, 300)):04d}"),
+                     ("k", ">=", int(rng.integers(0, n)))]:
+            col, op, lit = pred
+            got = f.read_table(predicate=pred)
+            kernel = {"==": pc.equal, "<": pc.less,
+                      ">=": pc.greater_equal}[op]
+            mask_g = kernel(got[col], lit)
+            mask_f = kernel(full[col], lit)
+            exact_g = got.filter(pc.fill_null(mask_g, False))
+            exact_f = full.filter(pc.fill_null(mask_f, False))
+            # pruned read must keep exactly the matching rows (order is
+            # preserved: groups decode ascending)
+            assert exact_g.equals(exact_f), (trial, pred)
+        f.close()
+
+
 def test_read_orc_files_projection_excludes_predicate_column(tmp_path):
     """The Ray source reads the predicate column for the exact filter
     even when the caller's projection drops it, then removes it."""
