@@ -267,6 +267,11 @@ def hash_arrow_values(arr, double_dialect: str = "cpp") -> np.ndarray | None:
                            arithmetic_shifts=double_dialect == "cpp")
     if pa.types.is_string(t) or pa.types.is_large_string(t) \
             or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        import pyarrow.compute as pc
+
+        # a bloom of the DISTINCT values is bit-identical to a bloom of
+        # all values (set semantics) — hash each value once
+        d = pc.unique(d)
         big = pa.large_binary() if not pa.types.is_string(t) \
             and not pa.types.is_large_string(t) else pa.large_string()
         sa = d.cast(big).combine_chunks() if isinstance(d, pa.ChunkedArray) \
