@@ -75,6 +75,20 @@ def test_bitsets_byte_identical_to_pyarrow(tmp_path):
     assert ob.bloom_params(10000, 0.05) == (62400, 4)
 
 
+def test_date_bitset_byte_identical_to_pyarrow(tmp_path):
+    """DATE columns hash as Wang(days) — same in both implementations."""
+    days = np.arange(15_000, 16_000, dtype=np.int32)
+    t = pa.table({"d": pa.array(days).cast(pa.date32())})
+    p = str(tmp_path / "pa_date.orc")
+    pa_orc.write_table(t, p, compression="uncompressed",
+                       bloom_filter_columns=[1], stripe_size=1 << 26,
+                       row_index_stride=10000)
+    ref = _pyarrow_blooms(p)
+    k, bits = ob.bloom_build(
+        ob.hash_arrow_values(t.column("d").combine_chunks()), 10000)
+    assert (k, bits) == ref[1]
+
+
 def test_probe_semantics():
     vals = np.arange(2000, dtype=np.int64) * 7
     k, bits = ob.bloom_build(ob.wang_hash64(vals), 10000)
