@@ -89,6 +89,20 @@ def test_date_bitset_byte_identical_to_pyarrow(tmp_path):
     assert (k, bits) == ref[1]
 
 
+def test_float32_bitset_byte_identical_to_pyarrow(tmp_path):
+    """FLOAT columns widen to double before the (cpp-dialect) Wang mix."""
+    vals = np.linspace(-3, 3, 1000).astype(np.float32)
+    t = pa.table({"f": pa.array(vals)})
+    p = str(tmp_path / "pa_f32.orc")
+    pa_orc.write_table(t, p, compression="uncompressed",
+                       bloom_filter_columns=[1], stripe_size=1 << 26,
+                       row_index_stride=10000)
+    ref = _pyarrow_blooms(p)
+    k, bits = ob.bloom_build(
+        ob.hash_arrow_values(t.column("f").combine_chunks()), 10000)
+    assert (k, bits) == ref[1]
+
+
 def test_probe_semantics():
     vals = np.arange(2000, dtype=np.int64) * 7
     k, bits = ob.bloom_build(ob.wang_hash64(vals), 10000)
