@@ -92,15 +92,17 @@ def cmd_import_orc(args) -> int:
     columns = args.columns.split(",") if args.columns else None
     predicate = None
     if args.predicate:
-        col, op, lit = args.predicate.split(",", 2)
-        try:
-            lit = int(lit)
-        except ValueError:
+        predicate = []
+        for spec in args.predicate:  # repeatable: terms AND together
+            col, op, lit = spec.split(",", 2)
             try:
-                lit = float(lit)
+                lit = int(lit)
             except ValueError:
-                pass
-        predicate = (col, op, lit)
+                try:
+                    lit = float(lit)
+                except ValueError:
+                    pass
+            predicate.append((col, op, lit))
     read_orc_files(args.input, columns=columns, predicate=predicate,
                    split_stripes=args.split_stripes).write_parquet(args.out)
     print(json.dumps({"out": args.out}))
@@ -207,9 +209,12 @@ def main(argv=None) -> int:
     io_.add_argument("input", help=".orc file, glob, or directory")
     io_.add_argument("out")
     io_.add_argument("--columns", default=None)
-    io_.add_argument("--predicate", default=None, metavar="COL,OP,LIT",
-                     help="prunes files (footer stats) AND stripes "
-                          "(Metadata stats), then filters rows exactly")
+    io_.add_argument("--predicate", action="append", default=None,
+                     metavar="COL,OP,LIT",
+                     help="prunes files (footer stats), stripes (Metadata "
+                          "stats + blooms) and row groups (ROW_INDEX), "
+                          "then filters rows exactly; repeatable — terms "
+                          "AND together")
     io_.add_argument("--split-stripes", action="store_true",
                      help="one Ray task per stripe instead of per file")
     io_.set_defaults(fn=cmd_import_orc)

@@ -658,35 +658,41 @@ class OrcFile:
         FLOAT, BOOLEAN, TIMESTAMP, DATE, DECIMAL, STRUCT, LIST, MAP — nulls
         via PRESENT) into one Arrow table, entirely through this repo's
         codecs. ``columns`` prunes at the decode: unrequested columns'
-        streams are never decompressed. ``predicate`` = (col, op, lit)
-        prunes whole STRIPES by the Metadata per-stripe statistics before
-        any stream is read (rows are NOT exact-filtered here — callers
-        like ``read_orc_files`` do that). Multi-stripe files decode
+        streams are never decompressed. ``predicate`` = one (col, op, lit)
+        triple or a list of them (a conjunction): stripes are pruned by
+        the Metadata per-stripe statistics (+ bloom probes for equality
+        terms) before any stream is read, then row groups by ROW_INDEX
+        stats/blooms (rows are NOT exact-filtered here — callers like
+        ``read_orc_files`` do that). Multi-stripe files decode
         stripe-by-stripe (nested types included) with one concat per
         column at the top. ``stripe_indices`` restricts the decode to a
         subset of stripes (the per-stripe Ray task unit)."""
         import pyarrow as pa
 
+        from ..stripe.container import normalize_predicate
+
+        preds = normalize_predicate(predicate)
         stripes = self.stripes if stripe_indices is None \
             else [self.stripes[i] for i in stripe_indices]
-        if predicate is not None:
+        if preds:
             per_stripe = self.stripe_stats()
             if len(per_stripe) == len(self.stripes):
                 keep = {id(st) for st, ss in zip(self.stripes, per_stripe)
-                        if _stats_may_match(ss, predicate)}
+                        if all(_stats_may_match(ss, p) for p in preds)}
                 stripes = [st for st in stripes if id(st) in keep]
-            if predicate[1] in ("==", "="):
+            names = self.field_names()
+            tids = self.subtypes(0) or list(range(1, len(names) + 1))
+            by_name = dict(zip(names, tids))
+            for p in preds:
+                if p[1] not in ("==", "="):
+                    continue
                 # equality: additionally probe BLOOM_FILTER_UTF8 streams
                 # (prunes stripes whose [min, max] matches but which
                 # cannot contain the literal)
-                names = self.field_names()
-                tids = self.subtypes(0) or list(range(1, len(names) + 1))
-                by_name = dict(zip(names, tids))
-                cid = by_name.get(predicate[0])
+                cid = by_name.get(p[0])
                 if cid is not None:
                     stripes = [st for st in stripes
-                               if self._bloom_may_match(
-                                   st, int(cid), predicate[2])]
+                               if self._bloom_may_match(st, int(cid), p[2])]
         names = self.field_names()
         top_ids = self.subtypes(0) or list(range(1, len(names) + 1))
         want = [(int(ci), name) for ci, name in zip(top_ids, names)
@@ -697,32 +703,34 @@ class OrcFile:
         # ORC seek-skip a production reader does. Kicks in only when every
         # requested column can seek-decode (scalar, RLEv2-family).
         plan: dict[int, list[int]] = {}
-        if predicate is not None and self.row_index_stride and stripes:
-            by_name = dict(zip(names, top_ids))
-            cid = by_name.get(predicate[0])
-            op = predicate[1]
-            if cid is not None and op in ("==", "=", "<", "<=", ">", ">="):
-                from ..codecs.orc_bloom import (bloom_might_contain,
-                                                hash_literal)
+        if preds and self.row_index_stride and stripes:
+            from ..codecs.orc_bloom import bloom_might_contain, hash_literal
 
-                dialect = {0: "java", 1: "cpp"}.get(self.writer_impl)
-                h = hash_literal(predicate[2], double_dialect=dialect) \
-                    if op in ("==", "=") else None
-                stride = self.row_index_stride
-                for st in stripes:
-                    K = -(-st.number_of_rows // stride)
-                    ri = self._row_index(st, int(cid))
+            by_name = dict(zip(names, top_ids))
+            dialect = {0: "java", 1: "cpp"}.get(self.writer_impl)
+            terms = [p for p in preds
+                     if by_name.get(p[0]) is not None
+                     and p[1] in ("==", "=", "<", "<=", ">", ">=")]
+            stride = self.row_index_stride
+            for st in stripes:
+                K = -(-st.number_of_rows // stride)
+                keep = list(range(K))
+                for p in terms:
+                    cid = int(by_name[p[0]])
+                    ri = self._row_index(st, cid)
                     if not ri or len(ri) != K:
-                        continue
-                    keep = [g for g in range(K) if _stats_may_match(
-                        {predicate[0]: ri[g][1]}, predicate)]
-                    if h is not None and keep:
-                        blooms = self.bloom_filters(st, int(cid))
+                        continue  # this term can't narrow — stay safe
+                    keep = [g for g in keep if _stats_may_match(
+                        {p[0]: ri[g][1]}, p)]
+                    if p[1] in ("==", "=") and keep:
+                        h = hash_literal(p[2], double_dialect=dialect)
+                        blooms = self.bloom_filters(st, cid) \
+                            if h is not None else None
                         if blooms and len(blooms) == K:
                             keep = [g for g in keep if bool(
                                 bloom_might_contain(*blooms[g], h).all())]
-                    if len(keep) < K:
-                        plan[id(st)] = keep
+                if len(keep) < K:
+                    plan[id(st)] = keep
 
         per_col: dict[str, list] = {name: [] for _, name in want}
         for st in stripes:
@@ -1044,10 +1052,12 @@ def read_orc_files(paths, columns: list[str] | None = None,
                    split_stripes: bool = False):
     """Ray Data source over real ``.orc`` files, column-pruned at the
     stream level — unrequested columns never decompress. ``paths``: a
-    directory, a glob, or an explicit list. ``predicate`` = (col, op, lit):
-    whole files whose footer stats exclude it are never opened beyond the
-    tail (two seeks), surviving files prune STRIPES by Metadata stripe
-    stats, and surviving rows are filtered exactly.
+    directory, a glob, or an explicit list. ``predicate`` = one
+    (col, op, lit) triple or a list of them (a conjunction): whole files
+    whose footer stats exclude any term are never opened beyond the tail
+    (two seeks), surviving files prune STRIPES by Metadata stripe stats
+    (+ blooms) and ROW GROUPS by ROW_INDEX, and surviving rows are
+    filtered exactly on every term.
 
     Task granularity: one decode task per FILE by default;
     ``split_stripes=True`` makes it one task per STRIPE (a driver-side
@@ -1060,6 +1070,9 @@ def read_orc_files(paths, columns: list[str] | None = None,
     import pyarrow as pa
     import ray.data as rd
 
+    from ..stripe.container import normalize_predicate
+
+    preds = normalize_predicate(predicate)
     if isinstance(paths, str):
         if os.path.isdir(paths):
             paths = sorted(_glob.glob(os.path.join(paths, "*.orc")))
@@ -1067,9 +1080,12 @@ def read_orc_files(paths, columns: list[str] | None = None,
             paths = sorted(_glob.glob(paths))
     if not paths:
         raise FileNotFoundError("no .orc files matched")
-    if predicate is not None:
-        kept = [p for p in paths
-                if _stats_may_match(read_file_stats(p), predicate)]
+    if preds:
+        kept = []
+        for p in paths:
+            fs = read_file_stats(p)
+            if all(_stats_may_match(fs, t) for t in preds):
+                kept.append(p)
         pruned = len(paths) - len(kept)
         if pruned:
             print(f"read_orc_files: footer stats pruned {pruned}/"
@@ -1089,14 +1105,16 @@ def read_orc_files(paths, columns: list[str] | None = None,
             f.close()
             items.extend({"path": p, "stripe": i} for i in range(n_st))
 
-    # the exact row filter needs the predicate column even when the
-    # caller's projection excludes it — read it, filter, then drop
+    # the exact row filter needs every predicate column even when the
+    # caller's projection excludes them — read them, filter, then drop
     read_cols = columns
     drop_after = []
-    if columns is not None and predicate is not None \
-            and predicate[0] not in columns:
-        read_cols = list(columns) + [predicate[0]]
-        drop_after = [predicate[0]]
+    if columns is not None and preds:
+        extra = [t[0] for t in preds if t[0] not in columns]
+        extra = list(dict.fromkeys(extra))
+        if extra:
+            read_cols = list(columns) + extra
+            drop_after = extra
 
     def decode(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1107,14 +1125,14 @@ def read_orc_files(paths, columns: list[str] | None = None,
             f = OrcFile(p)
             # surviving files also prune STRIPES by Metadata stripe stats
             tables.append(f.read_table(
-                columns=read_cols, predicate=predicate,
+                columns=read_cols, predicate=preds or None,
                 stripe_indices=None if si < 0 else [si]))
             f.close()
         t = pa.concat_tables(tables)
-        if predicate is not None:  # exact row filter after the prunes
-            col, op, lit = predicate
-            kernel = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
-                      ">": pc.greater, ">=": pc.greater_equal}[op]
+        for col, op, lit in preds:  # exact row filter after the prunes
+            kernel = {"==": pc.equal, "=": pc.equal, "<": pc.less,
+                      "<=": pc.less_equal, ">": pc.greater,
+                      ">=": pc.greater_equal}[op]
             t = t.filter(kernel(t.column(col), lit))
         if drop_after:
             t = t.drop_columns(drop_after)

@@ -190,6 +190,37 @@ def test_group_decode_randomized_equivalence(tmp_path):
         f.close()
 
 
+def test_conjunction_predicates(tmp_path):
+    """A list of (col, op, lit) terms ANDs together at every level: file
+    stats, stripe stats/blooms, row-group stats, exact filter."""
+    from apacheorcdotnet_ray.sources.orc_reader import read_orc_files
+
+    n = 20_000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "grp": pa.array([f"g{j % 4}" for j in range(n)]),
+        "x": pa.array(np.arange(n, dtype=np.float64) * 0.5),
+    })
+    p = str(tmp_path / "conj.orc")
+    write_orc(t, p, stripe_rows=5_000, row_index_stride=1_000,
+              bloom_columns=["grp"])
+    f = OrcFile(p)
+    # range + equality: the range narrows to 2 row groups, both decoded
+    res = f.read_table(predicate=[("k", ">=", 6_000), ("k", "<", 8_000)])
+    assert res.num_rows == 2_000
+    full = f.read_table()
+    assert res.equals(full.slice(6_000, 2_000))
+    f.close()
+
+    # end-to-end through the Ray source with exact filtering on all terms
+    got = read_orc_files([p], predicate=[("k", ">=", 6_000),
+                                         ("k", "<", 8_000),
+                                         ("grp", "==", "g1")]).take_all()
+    ks = sorted(r["k"] for r in got)
+    assert ks == [k for k in range(6_000, 8_000) if k % 4 == 1]
+    assert all(r["grp"] == "g1" for r in got)
+
+
 def test_read_orc_files_projection_excludes_predicate_column(tmp_path):
     """The Ray source reads the predicate column for the exact filter
     even when the caller's projection drops it, then removes it."""
