@@ -2,14 +2,20 @@
 
 The ORC spec attaches an optional per-row-group bloom filter next to the
 ROW_INDEX so equality predicates can skip row groups whose [min, max]
-range matches but which cannot contain the literal. Hash functions per the
-spec (and Java ORC's ``BloomFilter``/``Murmur3``, which C++ liborc
-mirrors):
+range matches but which cannot contain the literal. Hash functions:
 
-- integers (and dates): Thomas Wang's 64-bit mix of the long value;
-- doubles: the Wang mix of the IEEE-754 bit pattern;
+- integers / dates: Thomas Wang's 64-bit mix of the long value;
+  timestamps: the mix of the trunc-toward-zero milliseconds; doubles:
+  the mix of the IEEE-754 bit pattern;
+- DIALECTS: C++ liborc implements the Wang mix with ARITHMETIC right
+  shifts for every long hash; Java ORC uses unsigned (``>>>``) shifts.
+  The variants coincide on small positive longs and diverge elsewhere,
+  so Java- and C++-written numeric blooms are mutually incompatible in
+  the wild; this module implements BOTH (``arithmetic_shifts``), and
+  readers dispatch on the footer's writer-implementation field;
 - strings / binary: the single-lane 64-bit Murmur3 variant ("MSB 8 bytes
-  of the x64_128 variant") with ORC's DEFAULT_SEED = 104729;
+  of the x64_128 variant") with ORC's DEFAULT_SEED = 104729 — identical
+  in both implementations;
 - ``k`` index probes via Kirsch–Mitzenmacher double hashing on the two
   32-bit halves, bits stored in little-endian 64-bit words.
 
@@ -47,12 +53,12 @@ def wang_hash64(vals: np.ndarray, arithmetic_shifts: bool = False) -> np.ndarray
     vectorized. Input any int dtype (viewed as the signed long's bit
     pattern); returns uint64 hashes.
 
-    ``arithmetic_shifts=True`` reproduces C++ liborc's DOUBLE dialect:
-    its double path runs the mix with arithmetic (sign-extending) right
-    shifts where Java uses ``>>>``, so the two implementations disagree
-    on double bloom hashes (pinned empirically against pyarrow/liborc
-    2.0.0 single-value blooms — see tests/test_orc_bloom.py). Integer
-    adds use the Java/unsigned variant in BOTH implementations."""
+    ``arithmetic_shifts=True`` reproduces C++ liborc, which runs the mix
+    with arithmetic (sign-extending) right shifts for EVERY long hash —
+    ints, dates, timestamp millis and double bits alike — where Java
+    uses ``>>>``. The variants coincide on small positive longs and
+    diverge on negatives/large values (pinned empirically against
+    pyarrow/liborc 2.0.0 single-value blooms — tests/test_orc_bloom.py)."""
     if arithmetic_shifts:
         k = np.asarray(vals).astype(np.int64)
         with np.errstate(over="ignore"):
@@ -237,19 +243,29 @@ def bloom_might_contain(k: int, bitset: bytes, hashes: np.ndarray) -> np.ndarray
     return bits.all(axis=1)
 
 
-def hash_arrow_values(arr, double_dialect: str = "cpp") -> np.ndarray | None:
+_TS_MS_DIV = {"s": None, "ms": 1, "us": 1_000, "ns": 1_000_000}
+
+
+def hash_arrow_values(arr, dialect: str = "cpp") -> np.ndarray | None:
     """ORC bloom hashes (uint64) for an Arrow array's NON-NULL values, or
     None when the type has no defined ORC bloom hash here. Supported:
-    integers/date32 (Wang of the long), floats (Wang of the IEEE bits —
-    ``double_dialect``: "cpp" = liborc's arithmetic-shift mix, "java" =
-    the unsigned spec mix; the two disagree), string/binary (Murmur3-64,
-    vectorized over the offsets buffer)."""
+    integers/date32 (Wang of the long), timestamps (Wang of the
+    floor-millis), floats (Wang of the IEEE bits), string/binary
+    (Murmur3-64, vectorized over the offsets buffer).
+
+    ``dialect``: "cpp" = liborc runs EVERY long hash (ints, dates,
+    timestamps, double bits) through the Wang mix with arithmetic shifts;
+    "java" = the unsigned-shift spec mix. The two coincide on small
+    positive longs but diverge on negatives and most large values —
+    strings/binary (Murmur3) are the only dialect-independent types."""
     import pyarrow as pa
 
+    arith = dialect == "cpp"
     d = arr.drop_null() if arr.null_count else arr
     t = d.type
     supported = (pa.types.is_integer(t) or pa.types.is_date32(t)
-                 or pa.types.is_floating(t) or pa.types.is_string(t)
+                 or pa.types.is_floating(t) or pa.types.is_timestamp(t)
+                 or pa.types.is_string(t)
                  or pa.types.is_large_string(t) or pa.types.is_binary(t)
                  or pa.types.is_large_binary(t))
     if not supported:
@@ -257,14 +273,26 @@ def hash_arrow_values(arr, double_dialect: str = "cpp") -> np.ndarray | None:
     if len(d) == 0:
         return np.empty(0, dtype=np.uint64)
     if pa.types.is_integer(t):
-        return wang_hash64(d.to_numpy(zero_copy_only=False).astype(np.int64))
+        return wang_hash64(d.to_numpy(zero_copy_only=False).astype(np.int64),
+                           arithmetic_shifts=arith)
     if pa.types.is_date32(t):
         return wang_hash64(d.cast(pa.int32()).to_numpy(zero_copy_only=False)
-                           .astype(np.int64))
+                           .astype(np.int64), arithmetic_shifts=arith)
+    if pa.types.is_timestamp(t):
+        v = d.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        div = _TS_MS_DIV.get(t.unit, 1_000)
+        if div is None:
+            ms = v * 1_000
+        else:
+            # liborc derives millis from its (trunc-toward-zero seconds,
+            # SIGNED nanos) pair — net effect: TRUNCATED division, not
+            # floor (pinned by the -123 µs → 0 ms single-value bloom)
+            ms = np.floor_divide(v, div)
+            ms += ((v % div != 0) & (v < 0)).astype(np.int64)
+        return wang_hash64(ms, arithmetic_shifts=arith)
     if pa.types.is_floating(t):
         v = d.cast(pa.float64()).to_numpy(zero_copy_only=False)
-        return wang_hash64(v.view(np.int64),
-                           arithmetic_shifts=double_dialect == "cpp")
+        return wang_hash64(v.view(np.int64), arithmetic_shifts=arith)
     if pa.types.is_string(t) or pa.types.is_large_string(t) \
             or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         import pyarrow.compute as pc
@@ -285,23 +313,25 @@ def hash_arrow_values(arr, double_dialect: str = "cpp") -> np.ndarray | None:
     return None
 
 
-def hash_literal(lit, double_dialect: str | None = "cpp") -> int | None:
+def hash_literal(lit, dialect: str | None = "cpp") -> int | None:
     """The bloom hash of one predicate literal (None → unhashable type,
-    caller must not prune). Float literals need ``double_dialect`` ("cpp"
-    or "java" — readers dispatch on the footer's writer implementation);
-    pass None when the writer is unknown and floats become unprunable."""
+    caller must not prune). Numeric literals need ``dialect`` ("cpp" or
+    "java" — the two Wang variants diverge outside small positive longs;
+    readers dispatch on the footer's writer-implementation field); pass
+    None when the writer is unknown and numerics become unprunable.
+    String/bytes literals (Murmur3) are dialect-independent."""
     if isinstance(lit, bool):
         return None
-    if isinstance(lit, (int, np.integer)):
-        return int(wang_hash64(np.array([lit]))[0])
-    if isinstance(lit, (float, np.floating)):
-        if double_dialect not in ("cpp", "java"):
-            return None
-        return int(wang_hash64(np.array([lit], dtype=np.float64)
-                               .view(np.int64),
-                               arithmetic_shifts=double_dialect == "cpp")[0])
     if isinstance(lit, str):
         return murmur3_hash64(lit.encode("utf-8"))
     if isinstance(lit, (bytes, bytearray)):
         return murmur3_hash64(bytes(lit))
+    if dialect not in ("cpp", "java"):
+        return None
+    arith = dialect == "cpp"
+    if isinstance(lit, (int, np.integer)):
+        return int(wang_hash64(np.array([lit]), arithmetic_shifts=arith)[0])
+    if isinstance(lit, (float, np.floating)):
+        return int(wang_hash64(np.array([lit], dtype=np.float64)
+                               .view(np.int64), arithmetic_shifts=arith)[0])
     return None

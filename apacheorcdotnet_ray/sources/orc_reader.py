@@ -609,7 +609,7 @@ class OrcFile:
         from ..codecs.orc_bloom import bloom_might_contain, hash_literal
 
         dialect = {0: "java", 1: "cpp"}.get(self.writer_impl)
-        h = hash_literal(lit, double_dialect=dialect)
+        h = hash_literal(lit, dialect=dialect)
         if h is None:
             return True
         blooms = self.bloom_filters(st, column)
@@ -723,7 +723,7 @@ class OrcFile:
                     keep = [g for g in keep if _stats_may_match(
                         {p[0]: ri[g][1]}, p)]
                     if p[1] in ("==", "=") and keep:
-                        h = hash_literal(p[2], double_dialect=dialect)
+                        h = hash_literal(p[2], dialect=dialect)
                         blooms = self.bloom_filters(st, cid) \
                             if h is not None else None
                         if blooms and len(blooms) == K:

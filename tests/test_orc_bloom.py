@@ -62,14 +62,14 @@ def test_bitsets_byte_identical_to_pyarrow(tmp_path):
     assert set(ref) == {1, 2, 3}
     for cid, name in [(1, "i"), (2, "s"), (3, "f")]:
         k, bits = ob.bloom_build(ob.hash_arrow_values(
-            t.column(name).combine_chunks(), double_dialect="cpp"),
+            t.column(name).combine_chunks(), dialect="cpp"),
             10000, 0.05)
         assert (k, bits) == ref[cid], name
     # the double column only matches under liborc's arithmetic-shift
     # dialect; the Java (unsigned-shift) dialect diverges — that's a real
     # cross-implementation incompatibility this module models explicitly
     kj, bj = ob.bloom_build(ob.hash_arrow_values(
-        t.column("f").combine_chunks(), double_dialect="java"), 10000, 0.05)
+        t.column("f").combine_chunks(), dialect="java"), 10000, 0.05)
     assert (kj, bj) != ref[3]
     # sizing: n=10000 fpp=0.05 -> 62352 bits rounded up to 62400, k=4
     assert ob.bloom_params(10000, 0.05) == (62400, 4)
@@ -101,6 +101,63 @@ def test_float32_bitset_byte_identical_to_pyarrow(tmp_path):
     k, bits = ob.bloom_build(
         ob.hash_arrow_values(t.column("f").combine_chunks()), 10000)
     assert (k, bits) == ref[1]
+
+
+def test_negative_int_bitset_byte_identical_to_pyarrow(tmp_path):
+    """liborc runs EVERY long hash through the arithmetic-shift Wang mix
+    — the unsigned ("java") variant coincides only on small positive
+    longs. Negative ints pin the divergence (the original int pin used
+    positives, where both dialects agree)."""
+    vals = np.concatenate([-np.arange(1, 500, dtype=np.int64) * 9,
+                           np.array([2**61 + 5, -2**55], dtype=np.int64)])
+    t = pa.table({"i": pa.array(vals)})
+    p = str(tmp_path / "pa_neg.orc")
+    pa_orc.write_table(t, p, compression="uncompressed",
+                       bloom_filter_columns=[1], stripe_size=1 << 26,
+                       row_index_stride=10000)
+    ref = _pyarrow_blooms(p)
+    k, bits = ob.bloom_build(
+        ob.hash_arrow_values(t.column("i").combine_chunks(),
+                             dialect="cpp"), 10000)
+    assert (k, bits) == ref[1]
+    kj, bj = ob.bloom_build(
+        ob.hash_arrow_values(t.column("i").combine_chunks(),
+                             dialect="java"), 10000)
+    assert (kj, bj) != ref[1]
+
+
+def test_timestamp_bitset_byte_identical_to_pyarrow(tmp_path):
+    """Timestamps hash as Wang(trunc-toward-zero millis) in the cpp
+    dialect — liborc derives millis from its (trunc seconds, signed
+    nanos) pair, so -123 µs hashes as 0 ms, not -1 ms."""
+    us = pa.array([1_500_000_000_123_456, -1_000_000_000_500_000,
+                   1_700_000_000_000_001, -123], type=pa.int64())
+    t = pa.table({"ts": us.cast(pa.timestamp("us"))})
+    p = str(tmp_path / "pa_ts.orc")
+    pa_orc.write_table(t, p, compression="uncompressed",
+                       bloom_filter_columns=[1], stripe_size=1 << 26,
+                       row_index_stride=10000)
+    ref = _pyarrow_blooms(p)
+    k, bits = ob.bloom_build(
+        ob.hash_arrow_values(t.column("ts").combine_chunks()), 10000)
+    assert (k, bits) == ref[1]
+
+
+def test_negative_int_bloom_prune_on_foreign_file(tmp_path):
+    """End-to-end regression: equality probes on a liborc file with
+    negative ints must use the cpp dialect or present values would be
+    wrongly pruned (a false negative, i.e. WRONG results)."""
+    vals = np.arange(-5_000, 5_000, dtype=np.int64) * 3
+    t = pa.table({"i": pa.array(vals)})
+    p = str(tmp_path / "pa_negprune.orc")
+    pa_orc.write_table(t, p, compression="zlib", stripe_size=1 << 16,
+                       row_index_stride=1_000, bloom_filter_columns=[1])
+    f = OrcFile(p)
+    hit = f.read_table(predicate=("i", "==", -9_000))
+    assert -9_000 in hit.column("i").to_pylist()  # no false negative
+    assert f.read_table(predicate=("i", "==", -9_001)).num_rows \
+        < f.number_of_rows  # absent in-range value prunes
+    f.close()
 
 
 def test_probe_semantics():
